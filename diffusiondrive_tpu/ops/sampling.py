@@ -1,0 +1,94 @@
+"""Spatial sampling ops: bilinear grid-sample, resize, adaptive average pool.
+
+TPU-first notes:
+- Layout is NHWC everywhere (channels-last vectorizes on the VPU lanes and
+  feeds the MXU without transposes); the torch reference is NCHW.
+- `grid_sample` (used by the cascade decoder's cross-BEV attention,
+  `modules/blocks.py:117-122`) touches only num_queries*num_points ≈ 160
+  points per sample, so a 4-corner XLA gather beats a custom kernel; the
+  compiler fuses the corner weights into the gather consumers.
+- `resize_bilinear` matches torch `F.interpolate(mode='bilinear',
+  align_corners=False)` / cv2 half-pixel semantics via `jax.image.resize`.
+- Adaptive average pooling in the backbone always sees integer
+  downsample factors (e.g. 64x256 -> 8x32), so it lowers to a reshape-mean,
+  which XLA turns into a single fused reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample_2d(
+    value: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False
+) -> jnp.ndarray:
+    """Bilinear grid sampling with zero padding.
+
+    :param value: (N, H, W, C) feature map
+    :param grid: (N, Hg, Wg, 2) sample locations in [-1, 1]; last dim is
+        (x=width, y=height) — the torch `F.grid_sample` convention.
+    :return: (N, Hg, Wg, C) sampled features
+    """
+    N, H, W, C = value.shape
+
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (W - 1)
+        iy = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        ix = ((gx + 1.0) * W - 1.0) * 0.5
+        iy = ((gy + 1.0) * H - 1.0) * 0.5
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = ix - ix0
+    ty = iy - iy0
+
+    def corner(px: jnp.ndarray, py: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Gather value[:, py, px, :] with zero padding for out-of-bounds."""
+        valid = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        pxc = jnp.clip(px, 0, W - 1).astype(jnp.int32)
+        pyc = jnp.clip(py, 0, H - 1).astype(jnp.int32)
+        gathered = jax.vmap(lambda v, yy, xx: v[yy, xx])(value, pyc, pxc)
+        return gathered, valid
+
+    v00, m00 = corner(ix0, iy0)
+    v01, m01 = corner(ix0 + 1, iy0)
+    v10, m10 = corner(ix0, iy0 + 1)
+    v11, m11 = corner(ix0 + 1, iy0 + 1)
+
+    w00 = ((1.0 - tx) * (1.0 - ty))[..., None]
+    w01 = (tx * (1.0 - ty))[..., None]
+    w10 = ((1.0 - tx) * ty)[..., None]
+    w11 = (tx * ty)[..., None]
+
+    out = (
+        jnp.where(m00[..., None], v00, 0.0) * w00
+        + jnp.where(m01[..., None], v01, 0.0) * w01
+        + jnp.where(m10[..., None], v10, 0.0) * w10
+        + jnp.where(m11[..., None], v11, 0.0) * w11
+    )
+    return out
+
+
+def resize_bilinear(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """Bilinear resize of (N, H, W, C) to (N, *size, C); half-pixel centers
+    (torch ``align_corners=False``)."""
+    N, _, _, C = x.shape
+    return jax.image.resize(x, (N, size[0], size[1], C), method="bilinear")
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, output_size: Sequence[int]) -> jnp.ndarray:
+    """Average pool (N, H, W, C) to (N, *output_size, C).
+
+    Requires integer pooling factors (always true in this model family); the
+    reshape-mean form compiles to one fused reduction.
+    """
+    N, H, W, C = x.shape
+    oh, ow = output_size
+    assert H % oh == 0 and W % ow == 0, f"adaptive pool needs integer factors, got {(H, W)} -> {(oh, ow)}"
+    fh, fw = H // oh, W // ow
+    return x.reshape(N, oh, fh, ow, fw, C).mean(axis=(2, 4))

@@ -1,0 +1,12 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before the first `import jax` anywhere in the test process so the
+multi-chip sharding paths are exercised without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
