@@ -1,0 +1,333 @@
+"""Truncated-diffusion trajectory head (the core of DiffusionDrive).
+
+Parity: `navsim/agents/diffusiondrive/transfuser_model_v2.py:208-641`
+(TrajectoryHead, CustomTransformerDecoder[Layer], ModulationLayer,
+DiffMotionPlanningRefinementModule) and the grid-sample cross-BEV attention
+(`modules/blocks.py:49-129`).
+
+Train: kmeans plan anchors are noised at a random t in [0, 50), clamped in
+normalized space, denormalized, sine-embedded, and refined by a 2-layer
+cascade decoder; each layer emits (reg, cls) and a loss vs the GT trajectory.
+
+Test: anchors are noised at the fixed truncation step t=8, then denoised with
+2 DDIM steps (timesteps 10, 0); each step runs the full cascade and feeds the
+predicted x/y back through the scheduler. The whole rollout is an unrolled,
+static-shape XLA program — no host round-trips between steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusiondrive_tpu.models.config import TransfuserConfig
+from diffusiondrive_tpu.models.layers import LinearReluLn, MultiHeadAttention, mish
+from diffusiondrive_tpu.ops.ddim import DDIMScheduler
+from diffusiondrive_tpu.ops.embed import gen_sineembed_for_position, sinusoidal_pos_emb
+from diffusiondrive_tpu.ops.sampling import grid_sample_2d
+
+# Normalization ranges of the ego-frame trajectory space:
+# x in [-1.2, 55.7], y in [-20, 26], heading in [-2, 1.9]
+# (`transfuser_model_v2.py:480-500`).
+_NORM_OFFSET = np.array([1.2, 20.0, 2.0], dtype=np.float32)
+_NORM_SCALE = np.array([56.9, 46.0, 3.9], dtype=np.float32)
+
+
+def norm_odo(x: jnp.ndarray) -> jnp.ndarray:
+    """Map ego-frame (x, y[, heading]) into [-1, 1] diffusion space."""
+    d = x.shape[-1]
+    return 2.0 * (x + _NORM_OFFSET[:d]) / _NORM_SCALE[:d] - 1.0
+
+
+def denorm_odo(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`norm_odo`."""
+    d = x.shape[-1]
+    return (x + 1.0) / 2.0 * _NORM_SCALE[:d] - _NORM_OFFSET[:d]
+
+
+def default_plan_anchors(num_modes: int = 20, num_poses: int = 8) -> np.ndarray:
+    """Synthetic (num_modes, num_poses, 2) plan anchors.
+
+    Stand-in for the kmeans anchors of navtrain trajectories
+    (`kmeans_navsim_traj_20.npy`); a fan of constant-curvature rollouts at
+    several speeds covering the same x/y ranges. Replaced by real kmeans
+    anchors via `DiffusionDriveAgent.initialize()` when a file is available.
+    """
+    speeds = np.array([2.0, 6.0, 10.0, 14.0], dtype=np.float32)  # m/s
+    curvatures = np.array([-0.12, -0.04, 0.0, 0.04, 0.12], dtype=np.float32)  # 1/m
+    t = np.arange(1, num_poses + 1, dtype=np.float32) * 0.5
+    anchors = []
+    for v in speeds:
+        for k in curvatures:
+            s = v * t
+            if abs(k) < 1e-6:
+                xy = np.stack([s, np.zeros_like(s)], axis=-1)
+            else:
+                xy = np.stack([np.sin(k * s) / k, (1.0 - np.cos(k * s)) / k], axis=-1)
+            anchors.append(xy)
+    anchors = np.stack(anchors[:num_modes], axis=0)
+    return anchors.astype(np.float32)
+
+
+class GridSampleCrossBEVAttention(nn.Module):
+    """Per-trajectory-point BEV feature sampling with learned point weights.
+
+    The deformable-attention analogue: each mode's 8 trajectory points are
+    mapped to BEV grid coords, bilinearly sampled from a conv-projected value
+    map, and combined with a softmax over points predicted from the query.
+    """
+
+    config: TransfuserConfig
+    num_points: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        queries: jnp.ndarray,        # (B, M, C)
+        traj_points: jnp.ndarray,    # (B, M, P, 2) ego-frame meters
+        bev_feature: jnp.ndarray,    # (B, H, W, C_bev)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        B, M, C = queries.shape
+
+        # ego-frame (x fwd, y left) -> grid_sample coords: gx = y / max_y,
+        # gy = x / max_x (`modules/blocks.py:101-108`).
+        gx = traj_points[..., 1] / cfg.lidar_max_y
+        gy = traj_points[..., 0] / cfg.lidar_max_x
+        grid = jnp.stack([gx, gy], axis=-1)  # (B, M, P, 2)
+
+        attention = nn.Dense(self.num_points, kernel_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros, dtype=self.dtype,
+                             name="attention_weights")(queries)
+        attention = nn.softmax(attention, axis=-1)  # (B, M, P)
+
+        value = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="value_conv")(bev_feature)
+        value = nn.relu(value)
+
+        sampled = grid_sample_2d(value, grid)  # (B, M, P, 256)
+        out = jnp.einsum("bmp,bmpc->bmc", attention, sampled)
+        out = nn.Dense(C, kernel_init=nn.initializers.xavier_uniform(),
+                       bias_init=nn.initializers.zeros, dtype=self.dtype, name="output_proj")(out)
+        out = nn.Dropout(0.1, deterministic=deterministic)(out)
+        return out + queries
+
+
+class ModulationLayer(nn.Module):
+    """Time-conditioned FiLM: x * (1 + scale) + shift (`transfuser_model_v2.py:259-294`)."""
+
+    embed_dims: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time_embed: jnp.ndarray) -> jnp.ndarray:
+        h = mish(time_embed)
+        h = nn.Dense(self.embed_dims * 2, dtype=self.dtype, name="scale_shift")(h)
+        scale, shift = jnp.split(h, 2, axis=-1)
+        return x * (1.0 + scale) + shift
+
+
+class PlanningRefinement(nn.Module):
+    """Reg/cls branches (`transfuser_model_v2.py:208-256`)."""
+
+    embed_dims: int
+    num_poses: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, traj_feature: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, M, _ = traj_feature.shape
+        cls_feat = LinearReluLn(self.embed_dims, in_loops=1, out_loops=2, dtype=self.dtype,
+                                name="cls_ln")(traj_feature)
+        # bias init: -log((1-p)/p), p=0.01 — focal-loss prior (`blocks.py:43-46`)
+        plan_cls = nn.Dense(1, bias_init=nn.initializers.constant(float(-np.log(99.0))),
+                            dtype=self.dtype, name="cls_out")(cls_feat)[..., 0]
+
+        h = nn.Dense(self.embed_dims, dtype=self.dtype, name="reg_fc1")(traj_feature)
+        h = nn.relu(h)
+        h = nn.Dense(self.embed_dims, dtype=self.dtype, name="reg_fc2")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.num_poses * 3, dtype=self.dtype, name="reg_out")(h)
+        plan_reg = h.reshape(B, M, self.num_poses, 3)
+        return plan_reg, plan_cls
+
+
+class DiffusionDecoderLayer(nn.Module):
+    """One cascade layer: BEV sampling, agent/ego cross-attn, FFN, time FiLM,
+    residual pose refinement (`transfuser_model_v2.py:297-382`)."""
+
+    config: TransfuserConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        traj_feature: jnp.ndarray,     # (B, M, C) anchor embedding
+        noisy_traj_points: jnp.ndarray,  # (B, M, P, 2)
+        bev_feature: jnp.ndarray,      # (B, H, W, 256)
+        agents_query: jnp.ndarray,     # (B, A, C)
+        ego_query: jnp.ndarray,        # (B, 1, C)
+        time_embed: jnp.ndarray,       # (B, 1, C)
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        d = cfg.tf_d_model
+
+        x = GridSampleCrossBEVAttention(cfg, num_points=cfg.num_poses, dtype=self.dtype,
+                                        name="cross_bev")(traj_feature, noisy_traj_points,
+                                                          bev_feature, deterministic)
+        agent_att = MultiHeadAttention(d, cfg.tf_num_head, cfg.tf_dropout, self.dtype,
+                                       name="cross_agent")(x, agents_query, agents_query,
+                                                           deterministic)
+        x = x + nn.Dropout(0.1, deterministic=deterministic)(agent_att)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        ego_att = MultiHeadAttention(d, cfg.tf_num_head, cfg.tf_dropout, self.dtype,
+                                     name="cross_ego")(x, ego_query, ego_query, deterministic)
+        x = x + nn.Dropout(0.1, deterministic=deterministic)(ego_att)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+
+        h = nn.Dense(cfg.tf_d_ffn, dtype=self.dtype, name="ffn_fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(d, dtype=self.dtype, name="ffn_fc2")(h)
+        # NOTE: the reference replaces (not residually adds) with norm3(ffn(x))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm3")(h)
+
+        x = ModulationLayer(d, dtype=self.dtype, name="time_modulation")(x, time_embed)
+
+        poses_reg, poses_cls = PlanningRefinement(d, cfg.num_poses, dtype=self.dtype,
+                                                  name="task_decoder")(x)
+        poses_xy = poses_reg[..., :2] + noisy_traj_points
+        poses_heading = jnp.tanh(poses_reg[..., 2:3]) * np.pi
+        return jnp.concatenate([poses_xy, poses_heading], axis=-1), poses_cls
+
+
+class DiffusionTrajectoryHead(nn.Module):
+    """Anchored truncated-diffusion planner head."""
+
+    config: TransfuserConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        d = cfg.tf_d_model
+        self.scheduler = DDIMScheduler()
+        self.plan_anchor = self.variable(
+            "constants", "plan_anchor",
+            lambda: jnp.asarray(default_plan_anchors(cfg.ego_fut_mode, cfg.num_poses)),
+        )
+        # anchor encoder: linear_relu_ln(256, 1, 1, input 512) + Dense(256)
+        self.anchor_encoder_ln = LinearReluLn(d, in_loops=1, out_loops=1, dtype=self.dtype)
+        self.anchor_encoder_out = nn.Dense(d, dtype=self.dtype)
+        self.time_fc1 = nn.Dense(d * 4, dtype=self.dtype)
+        self.time_fc2 = nn.Dense(d, dtype=self.dtype)
+        self.layers = [
+            DiffusionDecoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")
+            for i in range(cfg.diff_decoder_layers)
+        ]
+
+    # ------------------------------------------------------------------ #
+
+    def _embed_anchor(self, points: jnp.ndarray) -> jnp.ndarray:
+        """(B, M, P, 2) points -> (B, M, d) anchor embedding."""
+        B, M, P, _ = points.shape
+        pos = gen_sineembed_for_position(points, hidden_dim=64)  # (B, M, P, 64)
+        pos = pos.reshape(B, M, P * 64)
+        return self.anchor_encoder_out(self.anchor_encoder_ln(pos))
+
+    def _embed_time(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        """(B,) int timesteps -> (B, 1, d)."""
+        h = sinusoidal_pos_emb(timesteps, self.config.tf_d_model)
+        h = self.time_fc2(mish(self.time_fc1(h)))
+        return h[:, None, :]
+
+    def _run_cascade(self, traj_feature, traj_points, bev_feature, agents_query, ego_query,
+                     time_embed, deterministic):
+        """Run all cascade layers; points update (stop-gradient) between layers."""
+        regs, clss = [], []
+        points = traj_points
+        for layer in self.layers:
+            poses_reg, poses_cls = layer(traj_feature, points, bev_feature, agents_query,
+                                         ego_query, time_embed, deterministic)
+            regs.append(poses_reg)
+            clss.append(poses_cls)
+            points = jax.lax.stop_gradient(poses_reg[..., :2])
+        return regs, clss
+
+    # ------------------------------------------------------------------ #
+
+    def __call__(self, ego_query, agents_query, bev_feature, status_encoding, *,
+                 targets: Optional[Dict[str, jnp.ndarray]] = None, train: bool = False):
+        if train:
+            return self.forward_train(ego_query, agents_query, bev_feature, targets)
+        return self.forward_test(ego_query, agents_query, bev_feature)
+
+    def forward_train(self, ego_query, agents_query, bev_feature, targets):
+        """Returns dict with per-layer (reg, cls) stacks for the loss and the
+        best-mode trajectory (`transfuser_model_v2.py:520-576`)."""
+        cfg = self.config
+        B = ego_query.shape[0]
+        anchors = self.plan_anchor.value[None].repeat(B, axis=0)  # (B, M, P, 2)
+
+        t_rng = self.make_rng("diffusion")
+        noise_rng = self.make_rng("diffusion")
+        timesteps = jax.random.randint(t_rng, (B,), 0, cfg.diffusion_train_max_t)
+        normed = norm_odo(anchors)
+        noise = jax.random.normal(noise_rng, normed.shape, dtype=normed.dtype)
+        noisy = self.scheduler.add_noise(normed, noise, timesteps)
+        noisy = jnp.clip(noisy, -1.0, 1.0)
+        noisy_points = denorm_odo(noisy)
+
+        traj_feature = self._embed_anchor(noisy_points)
+        time_embed = self._embed_time(timesteps)
+        regs, clss = self._run_cascade(traj_feature, noisy_points, bev_feature, agents_query,
+                                       ego_query, time_embed, deterministic=False)
+
+        mode_idx = jnp.argmax(clss[-1], axis=-1)
+        best = jnp.take_along_axis(regs[-1], mode_idx[:, None, None, None], axis=1)[:, 0]
+        return {
+            "trajectory": best,
+            "poses_reg_layers": jnp.stack(regs),   # (L, B, M, P, 3)
+            "poses_cls_layers": jnp.stack(clss),   # (L, B, M)
+            "plan_anchor": anchors,
+        }
+
+    def forward_test(self, ego_query, agents_query, bev_feature):
+        """Truncated 2-step DDIM rollout (`transfuser_model_v2.py:578-641`)."""
+        cfg = self.config
+        B = ego_query.shape[0]
+        anchors = self.plan_anchor.value[None].repeat(B, axis=0)
+
+        noise_rng = self.make_rng("diffusion")
+        img = norm_odo(anchors)
+        noise = jax.random.normal(noise_rng, img.shape, dtype=img.dtype)
+        trunc_t = jnp.full((B,), cfg.diffusion_test_trunc_t, dtype=jnp.int32)
+        img = self.scheduler.add_noise(img, noise, trunc_t)
+
+        roll_timesteps = self.scheduler.truncated_rollout_timesteps(
+            cfg.diffusion_test_steps, cfg.diffusion_test_span
+        )
+        poses_reg = poses_cls = None
+        for k in roll_timesteps:
+            x_boxes = jnp.clip(img, -1.0, 1.0)
+            points = denorm_odo(x_boxes)
+            traj_feature = self._embed_anchor(points)
+            time_embed = self._embed_time(jnp.full((B,), k, dtype=jnp.int32))
+            regs, clss = self._run_cascade(traj_feature, points, bev_feature, agents_query,
+                                           ego_query, time_embed, deterministic=True)
+            poses_reg, poses_cls = regs[-1], clss[-1]
+            x_start = norm_odo(poses_reg[..., :2])
+            img = self.scheduler.step(x_start, k, img)
+
+        mode_idx = jnp.argmax(poses_cls, axis=-1)
+        best = jnp.take_along_axis(poses_reg, mode_idx[:, None, None, None], axis=1)[:, 0]
+        return {
+            "trajectory": best,
+            "poses_reg": poses_reg,
+            "poses_cls": poses_cls,
+        }

@@ -1,0 +1,146 @@
+"""Full DiffusionDrive model (V2) and the deterministic Transfuser baseline.
+
+Parity: `navsim/agents/diffusiondrive/transfuser_model_v2.py:19-205`
+(V2TransfuserModel, AgentHead) and
+`navsim/agents/transfuser/transfuser_model.py:169-197` (baseline head).
+
+Pipeline (one jitted XLA program end to end):
+  backbone(camera, lidar) -> 8x8x512 BEV memory + 64x64x64 FPN BEV
+  -> 64 BEV tokens + 1 status token (+ learned keyval embedding)
+  -> 3-layer transformer decoder over [1 ego query | 30 agent queries]
+  -> BEV semantic head / agent box head / trajectory head (diffusion or MLP)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from diffusiondrive_tpu.common.enums import BoundingBox2DIndex
+from diffusiondrive_tpu.models.backbone import TransfuserBackbone
+from diffusiondrive_tpu.models.config import TransfuserConfig
+from diffusiondrive_tpu.models.diffusion_head import DiffusionTrajectoryHead
+from diffusiondrive_tpu.models.layers import LinearReluLn, TransformerDecoder
+from diffusiondrive_tpu.ops.sampling import resize_bilinear
+
+
+class AgentHead(nn.Module):
+    """BEV agent box head: (x, y) in +-32 m, heading in +-pi, raw l/w
+    (`transfuser_model_v2.py:165-205`)."""
+
+    config: TransfuserConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, agent_queries: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        h = nn.Dense(cfg.tf_d_ffn, dtype=self.dtype, name="states_fc1")(agent_queries)
+        h = nn.relu(h)
+        states = nn.Dense(BoundingBox2DIndex.size(), dtype=self.dtype, name="states_fc2")(h)
+
+        xy = jnp.tanh(states[..., BoundingBox2DIndex.POINT]) * 32.0
+        heading = jnp.tanh(states[..., BoundingBox2DIndex.HEADING : BoundingBox2DIndex.HEADING + 1]) * np.pi
+        rest = states[..., BoundingBox2DIndex.HEADING + 1 :]
+        agent_states = jnp.concatenate([xy, heading, rest], axis=-1)
+
+        agent_labels = nn.Dense(1, dtype=self.dtype, name="label_fc")(agent_queries)[..., 0]
+        return {"agent_states": agent_states, "agent_labels": agent_labels}
+
+
+class MLPTrajectoryHead(nn.Module):
+    """Deterministic single-mode head of the Transfuser baseline
+    (`transfuser/transfuser_model.py:169-197`)."""
+
+    config: TransfuserConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ego_query: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        h = nn.Dense(cfg.tf_d_ffn, dtype=self.dtype, name="fc1")(ego_query)
+        h = nn.relu(h)
+        h = nn.Dense(cfg.num_poses * 3, dtype=self.dtype, name="fc2")(h)
+        poses = h.reshape(h.shape[0], cfg.num_poses, 3)
+        heading = jnp.tanh(poses[..., 2:3]) * np.pi
+        return {"trajectory": jnp.concatenate([poses[..., :2], heading], axis=-1)}
+
+
+class DiffusionDriveModel(nn.Module):
+    """V2 Transfuser with the truncated-diffusion trajectory head."""
+
+    config: TransfuserConfig
+    trajectory_head_type: str = "diffusion"  # "diffusion" | "mlp"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        camera_feature: jnp.ndarray,   # (B, 256, 1024, 3)
+        lidar_feature: jnp.ndarray,    # (B, 256, 256, C_lidar)
+        status_feature: jnp.ndarray,   # (B, 8): command(4) + velocity(2) + accel(2)
+        targets: Optional[Dict[str, jnp.ndarray]] = None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        deterministic = not train
+        B = status_feature.shape[0]
+        num_queries = 1 + cfg.num_bounding_boxes
+
+        bev_upscale, bev_feature = TransfuserBackbone(cfg, dtype=self.dtype, name="backbone")(
+            camera_feature, lidar_feature, train=train
+        )
+        bev_h, bev_w = bev_feature.shape[1:3]            # 8, 8
+        up_h, up_w = bev_upscale.shape[1:3]              # 64, 64
+
+        # 64 BEV tokens + status token, with learned positional embedding
+        bev_tokens = nn.Conv(cfg.tf_d_model, (1, 1), dtype=self.dtype, name="bev_downscale")(bev_feature)
+        bev_tokens = bev_tokens.reshape(B, bev_h * bev_w, cfg.tf_d_model)
+        status_encoding = nn.Dense(cfg.tf_d_model, dtype=self.dtype, name="status_encoding")(status_feature)
+        keyval = jnp.concatenate([bev_tokens, status_encoding[:, None]], axis=1)
+        keyval_embedding = self.param(
+            "keyval_embedding", nn.initializers.normal(1.0), (bev_h * bev_w + 1, cfg.tf_d_model)
+        )
+        keyval = keyval + keyval_embedding[None].astype(keyval.dtype)
+
+        # cross-BEV feature for the diffusion decoder: interp'd keyval BEV (256)
+        # + FPN BEV (64) -> 320 -> linear_relu_ln -> 256 (`transfuser_model_v2.py:123-140`)
+        keyval_bev = keyval[:, :-1].reshape(B, bev_h, bev_w, cfg.tf_d_model)
+        keyval_bev = resize_bilinear(keyval_bev, (up_h, up_w))
+        cross_bev = jnp.concatenate([keyval_bev, bev_upscale], axis=-1)
+        cross_bev = LinearReluLn(cfg.tf_d_model, in_loops=1, out_loops=1, dtype=self.dtype,
+                                 name="bev_proj")(cross_bev)
+
+        query_embedding = self.param(
+            "query_embedding", nn.initializers.normal(1.0), (num_queries, cfg.tf_d_model)
+        )
+        query = jnp.broadcast_to(query_embedding[None], (B, num_queries, cfg.tf_d_model)).astype(keyval.dtype)
+        query_out = TransformerDecoder(cfg.tf_d_model, cfg.tf_num_head, cfg.tf_d_ffn,
+                                       cfg.tf_num_layers, cfg.tf_dropout, self.dtype,
+                                       name="tf_decoder")(query, keyval, deterministic)
+
+        ego_query = query_out[:, :1]
+        agents_query = query_out[:, 1:]
+
+        # BEV semantic segmentation head (NHWC; class dim last)
+        sem = nn.Conv(cfg.bev_features_channels, (3, 3), padding=1, dtype=self.dtype,
+                      name="bev_semantic_conv1")(bev_upscale)
+        sem = nn.relu(sem)
+        sem = nn.Conv(cfg.num_bev_classes, (1, 1), dtype=self.dtype, name="bev_semantic_conv2")(sem)
+        bev_semantic_map = resize_bilinear(sem, cfg.bev_semantic_frame)
+
+        output: Dict[str, jnp.ndarray] = {"bev_semantic_map": bev_semantic_map}
+
+        if self.trajectory_head_type == "diffusion":
+            trajectory = DiffusionTrajectoryHead(cfg, dtype=self.dtype, name="trajectory_head")(
+                ego_query, agents_query, cross_bev, status_encoding[:, None],
+                targets=targets, train=train,
+            )
+        else:
+            trajectory = MLPTrajectoryHead(cfg, dtype=self.dtype, name="trajectory_head")(ego_query)
+        output.update(trajectory)
+
+        output.update(AgentHead(cfg, dtype=self.dtype, name="agent_head")(agents_query))
+        return output
