@@ -1,0 +1,166 @@
+"""PDM-Score orchestration: trajectory transform + simulate + score.
+
+Parity: `navsim/evaluate/pdm_score.py` — an agent trajectory (8 ego-frame
+poses at 0.5 s) is moved to the global frame, interpolated to 41 states at
+10 Hz alongside the cached PDM-Closed trajectory, both are re-simulated
+through the LQR-tracked bicycle model, and the closed-loop metric suite is
+scored; sub-scores are reported for the prediction.
+
+TPU shape: per scene the proposal dim is 2 (pdm, pred). `batched_pdm_score`
+stacks S scenes into (S, 2, 41, 11) + stacked context arrays and runs ONE
+jitted vmap over scenes — the reference's per-token Ray tasks become a batch
+dimension sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusiondrive_tpu.common.dataclasses import PDMResults, Trajectory, TrajectorySampling
+from diffusiondrive_tpu.common.enums import StateIndex
+from diffusiondrive_tpu.common.geometry import (
+    convert_relative_to_absolute_se2_array,
+    normalize_angle,
+)
+from diffusiondrive_tpu.evaluate.metric_cache import MetricCache
+from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig, ScorerOutput, score_proposals
+from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
+
+
+def interpolate_poses(poses: np.ndarray, times: np.ndarray, query_times: np.ndarray) -> np.ndarray:
+    """Linear pose interpolation with unwrapped headings.
+
+    :param poses: (M, 3) poses at `times`
+    :param query_times: (Q,) times to sample (clipped to the pose range)
+    :return: (Q, 3)
+    """
+    q = np.clip(query_times, times[0], times[-1])
+    x = np.interp(q, times, poses[:, 0])
+    y = np.interp(q, times, poses[:, 1])
+    h = np.interp(q, times, np.unwrap(poses[:, 2]))
+    return np.stack([x, y, normalize_angle(h)], axis=-1)
+
+
+def transform_trajectory_to_states(
+    model_trajectory: Trajectory,
+    initial_state: np.ndarray,
+    simulation_sampling: TrajectorySampling,
+) -> np.ndarray:
+    """Ego-frame trajectory -> (N+1, 11) global state array at 10 Hz.
+
+    Mirrors `transform_trajectory` + `get_trajectory_as_array`: the current
+    ego state is prepended at t=0; velocities/accelerations are left zero for
+    future poses (the LQR profile fit only consumes poses).
+    """
+    sampling = model_trajectory.trajectory_sampling
+    rel_times = np.arange(1, sampling.num_poses + 1) * sampling.interval_length
+    abs_poses = convert_relative_to_absolute_se2_array(
+        initial_state[StateIndex.STATE_SE2], np.asarray(model_trajectory.poses, dtype=np.float64)
+    )
+    all_poses = np.concatenate([initial_state[None, StateIndex.STATE_SE2], abs_poses], axis=0)
+    all_times = np.concatenate([[0.0], rel_times])
+
+    query = np.arange(simulation_sampling.num_poses + 1) * simulation_sampling.interval_length
+    poses_10hz = interpolate_poses(all_poses, all_times, query)
+
+    states = np.zeros((len(query), StateIndex.size()), dtype=np.float64)
+    states[:, StateIndex.STATE_SE2] = poses_10hz
+    states[0] = initial_state
+    return states
+
+
+def pdm_states_from_cache(metric_cache: MetricCache, simulation_sampling: TrajectorySampling) -> np.ndarray:
+    """Cached PDM-Closed trajectory -> (N+1, 11) state array at 10 Hz."""
+    query = np.arange(simulation_sampling.num_poses + 1) * simulation_sampling.interval_length
+    poses = interpolate_poses(metric_cache.pdm_poses, metric_cache.pdm_times, query)
+    states = np.zeros((len(query), StateIndex.size()), dtype=np.float64)
+    states[:, StateIndex.STATE_SE2] = poses
+    states[0] = metric_cache.initial_state
+    return states
+
+
+def _score_scene(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
+    """Build the jittable per-scene (simulate + score) function."""
+
+    def run(proposal_states, initial_state, tracks_polygons, tracks_centers, tracks_valid,
+            tracks_is_agent, tracks_is_red_light, tracks_is_stopped, tracks_previously_collided,
+            global_to_local, map_polygons, map_valid, map_layers, map_on_route, centerline):
+        simulated = simulator.simulate_proposals(proposal_states, initial_state)
+        return score_proposals(
+            simulated,
+            tracks_polygons, tracks_centers, tracks_valid, tracks_is_agent,
+            tracks_is_red_light, tracks_is_stopped, tracks_previously_collided,
+            global_to_local, map_polygons, map_valid, map_layers, map_on_route,
+            centerline, simulator.proposal_sampling, scorer_config,
+        )
+
+    return run
+
+
+def pdm_score(
+    metric_cache: MetricCache,
+    model_trajectory: Trajectory,
+    simulator: PDMSimulator,
+    scorer_config: PDMScorerConfig = PDMScorerConfig(),
+) -> PDMResults:
+    """Score a single scene (reference-equivalent entry point)."""
+    out = batched_pdm_score([metric_cache], [model_trajectory], simulator, scorer_config)
+    return out[0]
+
+
+def batched_pdm_score(
+    metric_caches: List[MetricCache],
+    model_trajectories: List[Trajectory],
+    simulator: PDMSimulator,
+    scorer_config: PDMScorerConfig = PDMScorerConfig(),
+) -> List[PDMResults]:
+    """Score S scenes in one vmapped XLA program.
+
+    All caches must share padded shapes (they do when produced by the same
+    caching pipeline config).
+    """
+    sampling = simulator.proposal_sampling
+    proposals, ctx = [], []
+    for cache, traj in zip(metric_caches, model_trajectories):
+        pdm_states = pdm_states_from_cache(cache, sampling)
+        pred_states = transform_trajectory_to_states(traj, cache.initial_state, sampling)
+        proposals.append(np.stack([pdm_states, pred_states]).astype(np.float32))
+        t = cache.tracks
+        d = cache.drivable
+        ctx.append(
+            (
+                cache.initial_state.astype(np.float32),
+                t.polygons, t.centers, t.valid, t.is_agent, t.is_red_light, t.is_stopped,
+                t.previously_collided, t.global_to_local,
+                d.polygons, d.valid, d.layers, d.on_route,
+                cache.centerline.astype(np.float32),
+            )
+        )
+
+    stacked = [np.stack(x) for x in zip(*ctx)]
+    proposals = np.stack(proposals)  # (S, 2, N+1, 11)
+
+    run = _score_scene(simulator, scorer_config)
+    vmapped = jax.jit(jax.vmap(run))
+    out: ScorerOutput = vmapped(jnp.asarray(proposals), *[jnp.asarray(x) for x in stacked])
+
+    results = []
+    pred = 1
+    for i in range(len(metric_caches)):
+        results.append(
+            PDMResults(
+                no_at_fault_collisions=float(out.no_at_fault_collisions[i, pred]),
+                drivable_area_compliance=float(out.drivable_area_compliance[i, pred]),
+                ego_progress=float(out.progress_normalized[i, pred]),
+                time_to_collision_within_bound=float(out.ttc[i, pred]),
+                comfort=float(out.comfort[i, pred]),
+                driving_direction_compliance=float(out.driving_direction_compliance[i, pred]),
+                score=float(out.score[i, pred]),
+            )
+        )
+    return results

@@ -78,7 +78,7 @@ def fit_velocity_and_acceleration(
 
     AtA = jnp.einsum("bij,bik->bjk", A, A) + jerk_penalty * (R.T @ R)[None]
     Aty = jnp.einsum("bij,bi->bj", A, y)
-    x = jnp.linalg.solve(AtA, Aty)
+    x = jnp.linalg.solve(AtA, Aty[..., None])[..., 0]
     return x[:, 0], x[:, 1:]
 
 
@@ -103,7 +103,7 @@ def fit_curvature_and_curvature_rate(
 
     AtA = jnp.einsum("bij,bik->bjk", A, A) + jnp.asarray(Q, dtype=y.dtype)[None]
     Aty = jnp.einsum("bij,bi->bj", A, y)
-    x = jnp.linalg.solve(AtA, Aty)
+    x = jnp.linalg.solve(AtA, Aty[..., None])[..., 0]
     return x[:, 0], x[:, 1:]
 
 
