@@ -1,0 +1,124 @@
+"""DiffusionDrive agent: the flagship end-to-end planner.
+
+Parity: `navsim/agents/diffusiondrive/transfuser_agent.py` (TransfuserAgent)
+with the V2 model. Owns the Flax model + variables; `forward` runs the jitted
+eval path (backbone + 2-step truncated DDIM decode) on device. Checkpoints
+load via orbax; kmeans plan anchors can be swapped in from an .npy file.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusiondrive_tpu.agents.abstract_agent import AbstractAgent
+from diffusiondrive_tpu.agents.diffusiondrive.features import (
+    TransfuserFeatureBuilder,
+    TransfuserTargetBuilder,
+)
+from diffusiondrive_tpu.common.dataclasses import SensorConfig, Trajectory, TrajectorySampling
+from diffusiondrive_tpu.models.config import TransfuserConfig
+from diffusiondrive_tpu.models.transfuser_model import DiffusionDriveModel
+from diffusiondrive_tpu.training.abstract_feature_target_builder import (
+    AbstractFeatureBuilder,
+    AbstractTargetBuilder,
+)
+from diffusiondrive_tpu.training.losses import transfuser_loss
+from diffusiondrive_tpu.training.scheduler import warmup_cos_lr
+from diffusiondrive_tpu.training.train import OptimizerConfig, build_optimizer
+
+
+class DiffusionDriveAgent(AbstractAgent):
+    """Truncated-diffusion end-to-end planner (camera + lidar fusion)."""
+
+    requires_scene = False
+
+    def __init__(
+        self,
+        config: TransfuserConfig = None,
+        lr: float = 6e-4,
+        checkpoint_path: Optional[str] = None,
+        trajectory_head_type: str = "diffusion",
+        dtype: Any = jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self._config = config or TransfuserConfig()
+        self._lr = lr
+        self._checkpoint_path = checkpoint_path
+        self._seed = seed
+        self.model = DiffusionDriveModel(self._config, trajectory_head_type=trajectory_head_type,
+                                         dtype=dtype)
+        self.variables = None
+
+        def _forward(variables, camera, lidar, status):
+            return self.model.apply(
+                variables, camera, lidar, status, rngs={"diffusion": jax.random.PRNGKey(7)}
+            )
+
+        self._jit_forward = jax.jit(_forward)
+
+    @property
+    def config(self) -> TransfuserConfig:
+        return self._config
+
+    def name(self) -> str:
+        return self.__class__.__name__
+
+    def initialize(self) -> None:
+        cfg = self._config
+        if self._checkpoint_path:
+            import orbax.checkpoint as ocp
+
+            self.variables = ocp.StandardCheckpointer().restore(Path(self._checkpoint_path).absolute())
+        else:
+            rng = jax.random.PRNGKey(self._seed)
+            camera = jnp.zeros((1, cfg.camera_height, cfg.camera_width, 3), jnp.float32)
+            lidar = jnp.zeros(
+                (1, cfg.lidar_resolution_height, cfg.lidar_resolution_width, cfg.lidar_in_channels),
+                jnp.float32,
+            )
+            status = jnp.zeros((1, 8), jnp.float32)
+            self.variables = jax.jit(self.model.init)(
+                {"params": rng, "diffusion": rng, "dropout": rng}, camera, lidar, status
+            )
+        if cfg.plan_anchor_path and Path(cfg.plan_anchor_path).exists():
+            anchors = np.load(cfg.plan_anchor_path).astype(np.float32)
+            constants = dict(self.variables.get("constants", {}))
+            constants["trajectory_head"] = {"plan_anchor": jnp.asarray(anchors)}
+            self.variables = {**self.variables, "constants": constants}
+
+    def get_sensor_config(self) -> SensorConfig:
+        # all sensors, current frame only (`transfuser_agent.py:108-110`)
+        return SensorConfig.build_all_sensors(include=[3])
+
+    def get_feature_builders(self) -> List[AbstractFeatureBuilder]:
+        return [TransfuserFeatureBuilder(self._config)]
+
+    def get_target_builders(self) -> List[AbstractTargetBuilder]:
+        return [TransfuserTargetBuilder(self._config)]
+
+    def forward(self, features: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.variables is None:
+            self.initialize()
+        out = self._jit_forward(
+            self.variables,
+            jnp.asarray(features["camera_feature"], jnp.float32),
+            jnp.asarray(features["lidar_feature"], jnp.float32),
+            jnp.asarray(features["status_feature"], jnp.float32),
+        )
+        return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+    def compute_loss(self, features, targets, predictions):
+        return transfuser_loss(targets, predictions, self._config)["loss"]
+
+    def get_optimizers(self):
+        opt_cfg = OptimizerConfig(lr=self._lr, weight_decay=self._config.weight_decay,
+                                  image_encoder_lr_mult=self._config.cfg_lr_mult)
+        if self.variables is None:
+            self.initialize()
+        return build_optimizer(opt_cfg, self.variables["params"])
