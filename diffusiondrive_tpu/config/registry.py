@@ -1,0 +1,76 @@
+"""Agent registry + dataclass config composition.
+
+Replaces the Hydra `instantiate(_target_=...)` pattern (SURVEY §5.6) with an
+explicit registry: agents register under a name; entry points build them from
+a name + kwargs dict (optionally loaded from a YAML file). Keeps the
+"swap the agent via config" workflow without the Hydra dependency.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+_AGENTS: Dict[str, Callable[..., Any]] = {}
+
+
+def register_agent(name: str):
+    def wrap(factory):
+        _AGENTS[name] = factory
+        return factory
+
+    return wrap
+
+
+def available_agents():
+    _ensure_builtins()
+    return sorted(_AGENTS)
+
+
+def build_agent(name: str, **kwargs):
+    _ensure_builtins()
+    if name not in _AGENTS:
+        raise KeyError(f"Unknown agent '{name}'. Available: {available_agents()}")
+    return _AGENTS[name](**kwargs)
+
+
+def _ensure_builtins() -> None:
+    """Register built-in agents lazily (avoids import cycles)."""
+    if _AGENTS:
+        return
+    from diffusiondrive_tpu.agents.constant_velocity_agent import ConstantVelocityAgent
+    from diffusiondrive_tpu.agents.ego_status_mlp_agent import EgoStatusMLPAgent
+    from diffusiondrive_tpu.agents.human_agent import HumanAgent
+
+    _AGENTS.setdefault("constant_velocity_agent", ConstantVelocityAgent)
+    _AGENTS.setdefault("human_agent", HumanAgent)
+    _AGENTS.setdefault("ego_status_mlp_agent", EgoStatusMLPAgent)
+
+    def _diffusiondrive(**kwargs):
+        from diffusiondrive_tpu.agents.diffusiondrive.agent import DiffusionDriveAgent
+        from diffusiondrive_tpu.models.config import TransfuserConfig
+
+        config_kwargs = kwargs.pop("config", {}) or {}
+        return DiffusionDriveAgent(config=TransfuserConfig(**config_kwargs), **kwargs)
+
+    def _transfuser(**kwargs):
+        return _diffusiondrive(trajectory_head_type="mlp", **kwargs)
+
+    _AGENTS.setdefault("diffusiondrive_agent", _diffusiondrive)
+    _AGENTS.setdefault("transfuser_agent", _transfuser)
+
+
+def load_yaml(path: Optional[str]) -> Dict[str, Any]:
+    if not path:
+        return {}
+    import yaml
+
+    with open(path) as fp:
+        return yaml.safe_load(fp) or {}
+
+
+def load_split(path: Optional[str]) -> Dict[str, Any]:
+    """Load a train/test split YAML: {log_names: [...], tokens: [...]} (both
+    optional). Mirrors the reference's scene_filter config group."""
+    data = load_yaml(path)
+    return {"log_names": data.get("log_names"), "tokens": data.get("tokens")}

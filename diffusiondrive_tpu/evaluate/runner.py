@@ -1,0 +1,182 @@
+"""Batched PDMS evaluation runner.
+
+Replaces the Ray fan-out of `run_pdm_score.py:35-142` with the TPU-native
+shape: host threads overlap sensor IO + feature building while the device
+runs (1) the batched planner forward and (2) the batched simulate+score
+program. Tokens become a batch dimension instead of Ray tasks; across hosts,
+shard the token list (see `shard_tokens_for_host`).
+
+Per-token failures are quarantined as `valid=False` rows and the final CSV
+(per-token sub-scores + average row) matches `run_pdm_score.py:144-154`.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from diffusiondrive_tpu.agents.abstract_agent import AbstractAgent
+from diffusiondrive_tpu.common.dataclasses import PDMResults, Trajectory, TrajectorySampling
+from diffusiondrive_tpu.common.dataloader import MetricCacheLoader, SceneLoader
+from diffusiondrive_tpu.evaluate.pdm_score import batched_pdm_score
+from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig
+from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
+
+logger = logging.getLogger(__name__)
+
+SUB_SCORE_COLUMNS = [
+    "no_at_fault_collisions",
+    "drivable_area_compliance",
+    "ego_progress",
+    "time_to_collision_within_bound",
+    "comfort",
+    "driving_direction_compliance",
+    "score",
+]
+
+
+def shard_tokens_for_host(tokens: Sequence[str], host_id: int, num_hosts: int) -> List[str]:
+    """Deterministic token sharding across hosts (DCN level)."""
+    return [t for i, t in enumerate(sorted(tokens)) if i % num_hosts == host_id]
+
+
+def run_pdm_score_evaluation(
+    agent: AbstractAgent,
+    scene_loader: SceneLoader,
+    metric_cache_loader: MetricCacheLoader,
+    simulator: Optional[PDMSimulator] = None,
+    scorer_config: PDMScorerConfig = PDMScorerConfig(),
+    batch_size: int = 32,
+    num_io_threads: int = 16,
+    host_id: int = 0,
+    num_hosts: int = 1,
+) -> List[Dict[str, Any]]:
+    """Evaluate the agent on all tokens; returns one score row per token."""
+    simulator = simulator or PDMSimulator(TrajectorySampling(num_poses=40, interval_length=0.1))
+    agent.initialize()
+
+    tokens = sorted(set(scene_loader.tokens) & set(metric_cache_loader.tokens))
+    missing = len(set(scene_loader.tokens) - set(metric_cache_loader.tokens))
+    if missing:
+        logger.warning("Missing metric cache for %d tokens; skipping.", missing)
+    if num_hosts > 1:
+        tokens = shard_tokens_for_host(tokens, host_id, num_hosts)
+    logger.info("Scoring %d scenarios...", len(tokens))
+
+    has_builders = True
+    try:
+        feature_builders = agent.get_feature_builders()
+    except NotImplementedError:
+        has_builders = False
+        feature_builders = []
+
+    rows: List[Dict[str, Any]] = []
+    pool = ThreadPoolExecutor(max_workers=num_io_threads)
+
+    def load_one(token: str):
+        """Host-side IO + preprocessing for one token."""
+        cache = metric_cache_loader.get_from_token(token)
+        if agent.requires_scene:
+            scene = scene_loader.get_scene_from_token(token)
+            return token, cache, scene.get_agent_input(), scene
+        agent_input = scene_loader.get_agent_input_from_token(token)
+        if has_builders:
+            features = {}
+            for builder in feature_builders:
+                features.update(builder.compute_features(agent_input))
+            return token, cache, features, None
+        return token, cache, agent_input, None
+
+    for start in range(0, len(tokens), batch_size):
+        batch_tokens = tokens[start : start + batch_size]
+        loaded = list(pool.map(load_one, batch_tokens))
+
+        valid_items, trajectories = [], []
+        for token, cache, payload, scene in loaded:
+            try:
+                if has_builders:
+                    # stacked below; defer forward to the batched call
+                    valid_items.append((token, cache, payload))
+                else:
+                    if agent.requires_scene:
+                        traj = agent.compute_trajectory(payload, scene)
+                    else:
+                        traj = agent.compute_trajectory(payload)
+                    valid_items.append((token, cache, None))
+                    trajectories.append(traj)
+            except Exception:  # noqa: BLE001 — per-token quarantine
+                logger.exception("Token %s failed during input/forward.", token)
+                rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
+
+        if has_builders and valid_items:
+            # one batched device forward for the whole token batch
+            stacked = {
+                k: np.stack([item[2][k] for item in valid_items])
+                for k in valid_items[0][2].keys()
+            }
+            predictions = agent.forward(stacked)
+            poses = np.asarray(predictions["trajectory"], np.float32)
+            trajectories = [Trajectory(p) for p in poses]
+
+        if not valid_items:
+            continue
+
+        try:
+            results = batched_pdm_score(
+                [item[1] for item in valid_items], trajectories, simulator, scorer_config
+            )
+        except Exception:
+            logger.exception("Batched scoring failed; falling back to per-token.")
+            results = []
+            for (token, cache, _), traj in zip(valid_items, trajectories):
+                try:
+                    results.append(batched_pdm_score([cache], [traj], simulator, scorer_config)[0])
+                except Exception:
+                    logger.exception("Token %s failed during scoring.", token)
+                    results.append(None)
+
+        for (token, _, _), res in zip(valid_items, results):
+            if res is None:
+                rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
+            else:
+                rows.append({"token": token, "valid": True, **_result_to_row(res)})
+
+    pool.shutdown()
+    return rows
+
+
+def _result_to_row(res: PDMResults) -> Dict[str, float]:
+    return {
+        "no_at_fault_collisions": res.no_at_fault_collisions,
+        "drivable_area_compliance": res.drivable_area_compliance,
+        "ego_progress": res.ego_progress,
+        "time_to_collision_within_bound": res.time_to_collision_within_bound,
+        "comfort": res.comfort,
+        "driving_direction_compliance": res.driving_direction_compliance,
+        "score": res.score,
+    }
+
+
+def write_score_csv(rows: List[Dict[str, Any]], output_dir: Path) -> Path:
+    """Per-token CSV + average row (`run_pdm_score.py:144-154`)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    num_ok = int(df["valid"].sum())
+    logger.info("Successful: %d, failed: %d", num_ok, len(df) - num_ok)
+    average = df.drop(columns=["token", "valid"]).mean(skipna=True)
+    average["token"] = "average"
+    average["valid"] = bool(df["valid"].all())
+    df.loc[len(df)] = average
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    out = output_dir / f"{datetime.now().strftime('%Y.%m.%d.%H.%M.%S')}.csv"
+    df.to_csv(out)
+    logger.info("Average score %.4f -> %s", float(df['score'].iloc[-1]), out)
+    return out

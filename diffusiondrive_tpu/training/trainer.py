@@ -1,0 +1,130 @@
+"""Training orchestration: epochs, logging, orbax checkpoints.
+
+Replaces the pytorch-lightning Trainer + AgentLightningModule
+(`run_training.py:81-138`, `agent_lightning_module.py`). The per-step work is
+the jitted sharded train step from `training/train.py`; this class handles the
+host loop: batch iteration, metric averaging, wall-time logging
+(TimeLoggingCallback parity), checkpoint save/restore.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from diffusiondrive_tpu.parallel.mesh import create_mesh, shard_batch
+from diffusiondrive_tpu.training.train import (
+    OptimizerConfig,
+    TrainState,
+    create_train_state,
+    make_train_step,
+    shard_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    """Data-parallel train loop over a device mesh."""
+
+    def __init__(
+        self,
+        model,
+        model_config,
+        opt_cfg: OptimizerConfig,
+        output_dir: Optional[str] = None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.model_config = model_config
+        self.opt_cfg = opt_cfg
+        self.mesh = mesh or create_mesh()
+        self.output_dir = Path(output_dir) if output_dir else None
+        self.seed = seed
+        self.state: Optional[TrainState] = None
+        self._step_fn = None
+
+    def setup(self, example_batch: Dict[str, np.ndarray]) -> None:
+        self.state, tx = create_train_state(
+            self.model, jax.random.PRNGKey(self.seed), example_batch, self.opt_cfg
+        )
+        self._step_fn = shard_train_step(make_train_step(self.model, self.model_config, tx), self.mesh)
+
+    def fit(
+        self,
+        train_batches: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+        num_epochs: int,
+        val_batches: Optional[Callable[[int], Iterable[Dict[str, np.ndarray]]]] = None,
+        log_every: int = 50,
+        checkpoint_every_epochs: int = 1,
+    ) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed + 1)
+        with self.mesh:
+            for epoch in range(num_epochs):
+                epoch_start = time.perf_counter()
+                metrics_acc: Dict[str, float] = {}
+                count = 0
+                for batch in train_batches(epoch):
+                    if self.state is None:
+                        self.setup(batch)
+                    sharded = shard_batch(batch, self.mesh)
+                    self.state, metrics = self._step_fn(self.state, sharded, rng)
+                    count += 1
+                    if count % log_every == 0:
+                        metrics = {k: float(v) for k, v in metrics.items()}
+                        logger.info("epoch %d step %d: %s", epoch, count,
+                                    {k: round(v, 4) for k, v in metrics.items()})
+                    for k, v in jax.tree_util.tree_map(float, metrics).items():
+                        metrics_acc[k] = metrics_acc.get(k, 0.0) + v
+                wall = time.perf_counter() - epoch_start
+                means = {k: v / max(count, 1) for k, v in metrics_acc.items()}
+                logger.info("epoch %d done in %.1fs (%d steps): train %s", epoch, wall, count,
+                            {k: round(v, 4) for k, v in means.items()})
+
+                if val_batches is not None:
+                    self._validate(val_batches(epoch), epoch)
+                if self.output_dir and (epoch + 1) % checkpoint_every_epochs == 0:
+                    self.save_checkpoint(epoch)
+        return self.state
+
+    def _validate(self, batches: Iterable[Dict[str, np.ndarray]], epoch: int) -> None:
+        from diffusiondrive_tpu.training.losses import transfuser_loss
+
+        # validation reuses the train-path forward (deterministic rngs)
+        totals: Dict[str, float] = {}
+        count = 0
+        for batch in batches:
+            targets = {k: batch[k] for k in ("trajectory", "agent_states", "agent_labels", "bev_semantic_map")
+                       if k in batch}
+            outputs = self.model.apply(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats,
+                 "constants": self.state.constants},
+                batch["camera_feature"], batch["lidar_feature"], batch["status_feature"],
+                targets=targets, train=True,
+                rngs={"diffusion": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"],
+            )[0]
+            loss_dict = transfuser_loss(targets, outputs, self.model_config)
+            for k, v in loss_dict.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        logger.info("epoch %d val: %s", epoch,
+                    {k: round(v / max(count, 1), 4) for k, v in totals.items()})
+
+    def save_checkpoint(self, epoch: int) -> None:
+        import orbax.checkpoint as ocp
+
+        path = (self.output_dir / f"epoch_{epoch:04d}").absolute()
+        ocp.StandardCheckpointer().save(
+            path,
+            {"params": self.state.params, "batch_stats": self.state.batch_stats,
+             "constants": self.state.constants},
+            force=True,
+        )
+        logger.info("saved checkpoint %s", path)
