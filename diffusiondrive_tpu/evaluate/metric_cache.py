@@ -63,6 +63,7 @@ class MetricCache:
             tracks_is_stopped=self.tracks.is_stopped,
             tracks_previously_collided=self.tracks.previously_collided,
             tracks_global_to_local=self.tracks.global_to_local,
+            tracks_speeds=self.tracks.speeds,
             drivable_polygons=self.drivable.polygons,
             drivable_valid=self.drivable.valid,
             drivable_layers=self.drivable.layers,
@@ -90,6 +91,7 @@ class MetricCache:
                 is_stopped=data["tracks_is_stopped"],
                 previously_collided=data["tracks_previously_collided"],
                 global_to_local=data["tracks_global_to_local"],
+                speeds=data["tracks_speeds"] if "tracks_speeds" in data else None,
             ),
             drivable=DrivableAreaArrays(
                 polygons=data["drivable_polygons"],

@@ -59,6 +59,11 @@ class TrackArrays:
     is_stopped: np.ndarray        # (O,) bool — track speed <= 5e-2 m/s
     previously_collided: np.ndarray  # (O,) bool — collision at t=0, ignored
     global_to_local: np.ndarray   # (T_global,) int — time idx -> local map idx
+    speeds: np.ndarray = None     # (O,) float32 current speed (leading-agent search)
+
+    def __post_init__(self):
+        if self.speeds is None:
+            self.speeds = np.zeros(self.polygons.shape[1], np.float32)
 
     @property
     def num_objects(self) -> int:

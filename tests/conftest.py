@@ -102,7 +102,8 @@ def synthetic_log(tmp_path_factory):
                 },
                 lidar_path="lidar/pc.pcd",
                 anns=dict(
-                    gt_boxes=np.array([[10.0, 2.0, 0.5, 4.5, 2.0, 1.7, 0.1]], np.float32),
+                    # parked vehicle at GLOBAL (16, 2): local x = 16 - ego_x
+                    gt_boxes=np.array([[16.0 - x, 2.0, 0.5, 4.5, 2.0, 1.7, 0.1]], np.float32),
                     gt_names=["vehicle"],
                     gt_velocity_3d=np.zeros((1, 3), np.float32),
                     instance_tokens=["inst_0"],
