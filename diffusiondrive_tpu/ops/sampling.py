@@ -81,6 +81,30 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     return jax.image.resize(x, (N, size[0], size[1], C), method="bilinear")
 
 
+def resize_bilinear_no_aa(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """Bilinear resize WITHOUT antialiasing — exact cv2 INTER_LINEAR /
+    torch `F.interpolate` semantics for downsampling (half-pixel centers,
+    2-tap kernel). `jax.image.resize` antialiases on downsample, which the
+    camera stitcher must NOT do to match the trained reference pipeline.
+    """
+    N, H, W, C = x.shape
+    oh, ow = size
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (H / oh) - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (W / ow) - 0.5
+
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    ty = jnp.clip(ys - y0, 0.0, 1.0)[None, :, None, None]
+    tx = jnp.clip(xs - x0, 0.0, 1.0)[None, None, :, None]
+
+    x = x.astype(jnp.float32)
+    top = x[:, y0][:, :, x0] * (1 - tx) + x[:, y0][:, :, x1] * tx
+    bot = x[:, y1][:, :, x0] * (1 - tx) + x[:, y1][:, :, x1] * tx
+    return top * (1 - ty) + bot * ty
+
+
 def adaptive_avg_pool2d(x: jnp.ndarray, output_size: Sequence[int]) -> jnp.ndarray:
     """Average pool (N, H, W, C) to (N, *output_size, C).
 
