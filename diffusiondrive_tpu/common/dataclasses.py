@@ -182,7 +182,16 @@ def load_pcd(path: Path) -> np.ndarray:
 
 
 def _lzf_decompress(data: bytes, expected_size: int) -> bytes:
-    """Pure-python LZF decompression (PCD binary_compressed payloads)."""
+    """LZF decompression (PCD binary_compressed payloads): native extension
+    when available, pure-python fallback otherwise."""
+    try:
+        from diffusiondrive_tpu.native import lzf_decompress
+
+        native = lzf_decompress(data, expected_size)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     out = bytearray()
     i, n = 0, len(data)
     while i < n and len(out) < expected_size:
