@@ -55,6 +55,9 @@ def main() -> None:
     jax.block_until_ready(out)
     batch_fps = 10 * B / (time.perf_counter() - start)
 
+    # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene)
+    scoring_sps = _bench_scoring()
+
     print(
         json.dumps(
             {
@@ -64,12 +67,50 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "extra": {
                     "batch16_throughput_fps": round(batch_fps, 2),
+                    "pdm_scoring_scenes_per_s": round(scoring_sps, 1),
                     "baseline_fps": BASELINE_FPS,
                     "device": str(jax.devices()[0]),
                 },
             }
         )
     )
+
+
+def _bench_scoring(num_scenes: int = 256) -> float:
+    """Scenes/s through the vmapped simulate+score program (eval hot loop)."""
+    import numpy as np
+
+    from diffusiondrive_tpu.common.dataclasses import TrajectorySampling
+    from diffusiondrive_tpu.evaluate.pdm_score import _score_scene
+    from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig
+    from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
+
+    S, T, O, V, P = num_scenes, 41, 96, 16, 256
+    rng = np.random.default_rng(0)
+    proposals = np.zeros((S, 2, T, 11), np.float32)
+    proposals[..., 0] = np.arange(T) * 1.0
+    proposals[..., 3] = 10.0
+    args = (
+        jnp.asarray(proposals),
+        jnp.asarray(proposals[:, 0, 0]),                                   # initial states
+        jnp.asarray(rng.normal(100, 5, (S, 26, O, V, 2)).astype(np.float32)),
+        jnp.asarray(rng.normal(100, 5, (S, 26, O, 2)).astype(np.float32)),
+        jnp.ones((S, O), bool), jnp.ones((S, O), bool),
+        jnp.zeros((S, O), bool), jnp.ones((S, O), bool), jnp.zeros((S, O), bool),
+        jnp.asarray(np.tile([i // 2 for i in range(52)], (S, 1)).astype(np.int32)),
+        jnp.asarray(rng.normal(0, 50, (S, P, 24, 2)).astype(np.float32)),
+        jnp.ones((S, P), bool), jnp.zeros((S, P), np.int32), jnp.ones((S, P), bool),
+        jnp.asarray(np.tile(np.stack([np.linspace(0, 100, 64), np.zeros(64)], -1), (S, 1, 1)).astype(np.float32)),
+    )
+    simulator = PDMSimulator(TrajectorySampling(num_poses=40, interval_length=0.1))
+    run = jax.jit(jax.vmap(_score_scene(simulator, PDMScorerConfig())))
+    out = run(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(5):
+        out = run(*args)
+    jax.block_until_ready(out)
+    return 5 * num_scenes / (time.perf_counter() - start)
 
 
 if __name__ == "__main__":

@@ -56,8 +56,29 @@ def _ensure_builtins() -> None:
     def _transfuser(**kwargs):
         return _diffusiondrive(trajectory_head_type="mlp", **kwargs)
 
+    def _vanilla_ddim(**kwargs):
+        # ablation: 20-step full DDIM rollout (vs 2-step truncated) —
+        # the reference's "10x reduction" comparison baseline
+        config_kwargs = kwargs.pop("config", {}) or {}
+        config_kwargs.setdefault("diffusion_test_steps", 20)
+        return _diffusiondrive(config=config_kwargs, **kwargs)
+
+    def _diffusiondrive_nuscenes(**kwargs):
+        # nuScenes variant: ResNet-50 encoders, 6-pose horizon at 0.5 s
+        from diffusiondrive_tpu.common.dataclasses import TrajectorySampling
+
+        config_kwargs = kwargs.pop("config", {}) or {}
+        config_kwargs.setdefault("image_architecture", "resnet50")
+        config_kwargs.setdefault("lidar_architecture", "resnet50")
+        config_kwargs.setdefault(
+            "trajectory_sampling", TrajectorySampling(time_horizon=3, interval_length=0.5)
+        )
+        return _diffusiondrive(config=config_kwargs, **kwargs)
+
     _AGENTS.setdefault("diffusiondrive_agent", _diffusiondrive)
     _AGENTS.setdefault("transfuser_agent", _transfuser)
+    _AGENTS.setdefault("diffusiondrive_vanilla_ddim_agent", _vanilla_ddim)
+    _AGENTS.setdefault("diffusiondrive_nuscenes_agent", _diffusiondrive_nuscenes)
 
 
 def load_yaml(path: Optional[str]) -> Dict[str, Any]:
