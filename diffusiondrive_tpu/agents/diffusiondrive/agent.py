@@ -18,6 +18,7 @@ import optax
 
 from diffusiondrive_tpu.agents.abstract_agent import AbstractAgent
 from diffusiondrive_tpu.agents.diffusiondrive.features import (
+    RawSensorFeatureBuilder,
     TransfuserFeatureBuilder,
     TransfuserTargetBuilder,
 )
@@ -46,11 +47,13 @@ class DiffusionDriveAgent(AbstractAgent):
         trajectory_head_type: str = "diffusion",
         dtype: Any = jnp.bfloat16,
         seed: int = 0,
+        preprocess_on_device: bool = False,
     ):
         self._config = config or TransfuserConfig()
         self._lr = lr
         self._checkpoint_path = checkpoint_path
         self._seed = seed
+        self._preprocess_on_device = preprocess_on_device
         self.model = DiffusionDriveModel(self._config, trajectory_head_type=trajectory_head_type,
                                          dtype=dtype)
         self.variables = None
@@ -61,6 +64,17 @@ class DiffusionDriveAgent(AbstractAgent):
             )
 
         self._jit_forward = jax.jit(_forward)
+
+        def _forward_raw(variables, cam_l0, cam_f0, cam_r0, points, valid, status):
+            # fused device preprocessing: stitch/resize + Pallas BEV splat
+            from diffusiondrive_tpu.ops.preprocessing import lidar_bev, stitch_cameras
+
+            camera = stitch_cameras(cam_l0, cam_f0, cam_r0,
+                                    self._config.camera_height, self._config.camera_width)
+            lidar = lidar_bev(points, valid, self._config)
+            return _forward(variables, camera, lidar, status)
+
+        self._jit_forward_raw = jax.jit(_forward_raw)
 
     @property
     def config(self) -> TransfuserConfig:
@@ -97,6 +111,8 @@ class DiffusionDriveAgent(AbstractAgent):
         return SensorConfig.build_all_sensors(include=[3])
 
     def get_feature_builders(self) -> List[AbstractFeatureBuilder]:
+        if self._preprocess_on_device:
+            return [RawSensorFeatureBuilder(self._config)]
         return [TransfuserFeatureBuilder(self._config)]
 
     def get_target_builders(self) -> List[AbstractTargetBuilder]:
@@ -105,12 +121,23 @@ class DiffusionDriveAgent(AbstractAgent):
     def forward(self, features: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if self.variables is None:
             self.initialize()
-        out = self._jit_forward(
-            self.variables,
-            jnp.asarray(features["camera_feature"], jnp.float32),
-            jnp.asarray(features["lidar_feature"], jnp.float32),
-            jnp.asarray(features["status_feature"], jnp.float32),
-        )
+        if "camera_l0" in features:  # raw path: preprocessing fused on device
+            out = self._jit_forward_raw(
+                self.variables,
+                jnp.asarray(features["camera_l0"]),
+                jnp.asarray(features["camera_f0"]),
+                jnp.asarray(features["camera_r0"]),
+                jnp.asarray(features["lidar_points"]),
+                jnp.asarray(features["lidar_valid"]),
+                jnp.asarray(features["status_feature"], jnp.float32),
+            )
+        else:
+            out = self._jit_forward(
+                self.variables,
+                jnp.asarray(features["camera_feature"], jnp.float32),
+                jnp.asarray(features["lidar_feature"], jnp.float32),
+                jnp.asarray(features["status_feature"], jnp.float32),
+            )
         return {k: np.asarray(v, np.float32) for k, v in out.items()}
 
     def compute_loss(self, features, targets, predictions):

@@ -93,6 +93,42 @@ class TransfuserFeatureBuilder(AbstractFeatureBuilder):
         return features.astype(np.float32)
 
 
+class RawSensorFeatureBuilder(AbstractFeatureBuilder):
+    """Minimal-host-work variant: raw camera crops + padded point cloud.
+
+    Host does only JPEG decode and PCD parse; stitching/resize and the BEV
+    histogram run fused on device (`ops/preprocessing.py`). Used by
+    `DiffusionDriveAgent(preprocess_on_device=True)` for batched evaluation.
+    """
+
+    def __init__(self, config: TransfuserConfig, max_points: int = 131072):
+        self._config = config
+        self._max_points = max_points
+
+    def get_unique_name(self) -> str:
+        return "transfuser_raw_feature"
+
+    def compute_features(self, agent_input: AgentInput) -> Dict[str, np.ndarray]:
+        from diffusiondrive_tpu.ops.preprocessing import pad_point_cloud
+
+        cameras = agent_input.cameras[-1]
+        points, valid = pad_point_cloud(agent_input.lidars[-1].lidar_pc, self._max_points)
+        return {
+            "camera_l0": cameras.cam_l0.image,
+            "camera_f0": cameras.cam_f0.image,
+            "camera_r0": cameras.cam_r0.image,
+            "lidar_points": points,
+            "lidar_valid": valid,
+            "status_feature": np.concatenate(
+                [
+                    np.asarray(agent_input.ego_statuses[-1].driving_command, np.float32),
+                    np.asarray(agent_input.ego_statuses[-1].ego_velocity, np.float32),
+                    np.asarray(agent_input.ego_statuses[-1].ego_acceleration, np.float32),
+                ]
+            ),
+        }
+
+
 class TransfuserTargetBuilder(AbstractTargetBuilder):
     """GT trajectory + nearest agent boxes + BEV semantic map."""
 

@@ -82,3 +82,41 @@ def test_batched_lidar_bev():
     out = np.asarray(lidar_bev(jnp.asarray(pts), jnp.asarray(valid)))
     assert out.shape == (2, 256, 256, 1)
     assert out.max() <= 1.0 and out.sum() > 0
+
+
+def test_raw_builder_matches_host_builder(synthetic_log):
+    """Device preprocessing path reproduces the host feature builder."""
+    from diffusiondrive_tpu.agents.diffusiondrive.features import (
+        RawSensorFeatureBuilder,
+        TransfuserFeatureBuilder,
+    )
+    from diffusiondrive_tpu.common.dataclasses import SceneFilter, SensorConfig
+    from diffusiondrive_tpu.common.dataloader import SceneLoader
+    from diffusiondrive_tpu.models.config import TransfuserConfig
+
+    logs_dir, blobs_dir = synthetic_log
+    loader = SceneLoader(
+        logs_dir, blobs_dir,
+        SceneFilter(num_history_frames=4, num_future_frames=10, frame_interval=14),
+        SensorConfig.build_all_sensors(include=[3]), build_map_api=False,
+    )
+    agent_input = loader.get_agent_input_from_token(loader.tokens[0])
+    config = TransfuserConfig()
+
+    host = TransfuserFeatureBuilder(config).compute_features(agent_input)
+    raw = RawSensorFeatureBuilder(config, max_points=1024).compute_features(agent_input)
+
+    camera_dev = np.asarray(
+        stitch_cameras(
+            jnp.asarray(raw["camera_l0"][None]),
+            jnp.asarray(raw["camera_f0"][None]),
+            jnp.asarray(raw["camera_r0"][None]),
+        )
+    )[0]
+    assert np.abs(camera_dev - host["camera_feature"]).max() < 1.5 / 255.0
+
+    lidar_dev = np.asarray(
+        lidar_bev(jnp.asarray(raw["lidar_points"][None]), jnp.asarray(raw["lidar_valid"][None]), config)
+    )[0]
+    np.testing.assert_allclose(lidar_dev, host["lidar_feature"], atol=1e-6)
+    np.testing.assert_allclose(raw["status_feature"], host["status_feature"])
