@@ -124,7 +124,22 @@ class Trainer:
         ocp.StandardCheckpointer().save(
             path,
             {"params": self.state.params, "batch_stats": self.state.batch_stats,
-             "constants": self.state.constants},
+             "constants": self.state.constants, "opt_state": self.state.opt_state,
+             "step": self.state.step},
             force=True,
         )
         logger.info("saved checkpoint %s", path)
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume training state (params + optimizer + step) from a checkpoint."""
+        import orbax.checkpoint as ocp
+
+        assert self.state is not None, "call setup() with an example batch first"
+        target = {
+            "params": self.state.params, "batch_stats": self.state.batch_stats,
+            "constants": self.state.constants, "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = ocp.StandardCheckpointer().restore(Path(path).absolute(), target)
+        self.state = self.state.replace(**restored)
+        logger.info("restored checkpoint %s (step %d)", path, int(self.state.step))
