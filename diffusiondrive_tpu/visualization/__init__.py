@@ -16,3 +16,4 @@ from diffusiondrive_tpu.visualization.plots import (
     plot_bev_semantic_comparison,
     plot_bev_with_agent,
 )
+from diffusiondrive_tpu.visualization.lidar import add_lidar_to_bev_ax, plot_lidar_bev
