@@ -88,7 +88,9 @@ class DiffusionDriveAgent(AbstractAgent):
         if self._checkpoint_path:
             import orbax.checkpoint as ocp
 
-            self.variables = ocp.StandardCheckpointer().restore(Path(self._checkpoint_path).absolute())
+            ckptr = ocp.StandardCheckpointer()
+            self.variables = ckptr.restore(Path(self._checkpoint_path).absolute())
+            ckptr.close()
         else:
             rng = jax.random.PRNGKey(self._seed)
             camera = jnp.zeros((1, cfg.camera_height, cfg.camera_width, 3), jnp.float32)

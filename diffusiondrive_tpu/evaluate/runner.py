@@ -79,7 +79,15 @@ def run_pdm_score_evaluation(
     pool = ThreadPoolExecutor(max_workers=num_io_threads)
 
     def load_one(token: str):
-        """Host-side IO + preprocessing for one token."""
+        """Host-side IO + preprocessing for one token; exceptions become
+        sentinel rows instead of killing the batch."""
+        try:
+            return _load_one_inner(token)
+        except Exception:  # noqa: BLE001 — per-token quarantine
+            logger.exception("Token %s failed during IO/preprocessing.", token)
+            return token, None, None, None
+
+    def _load_one_inner(token: str):
         cache = metric_cache_loader.get_from_token(token)
         if agent.requires_scene:
             scene = scene_loader.get_scene_from_token(token)
@@ -98,6 +106,9 @@ def run_pdm_score_evaluation(
 
         valid_items, trajectories = [], []
         for token, cache, payload, scene in loaded:
+            if cache is None:
+                rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
+                continue
             try:
                 if has_builders:
                     # stacked below; defer forward to the batched call

@@ -121,13 +121,16 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = (self.output_dir / f"epoch_{epoch:04d}").absolute()
-        ocp.StandardCheckpointer().save(
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
             path,
             {"params": self.state.params, "batch_stats": self.state.batch_stats,
              "constants": self.state.constants, "opt_state": self.state.opt_state,
              "step": self.state.step},
             force=True,
         )
+        ckptr.wait_until_finished()
+        ckptr.close()
         logger.info("saved checkpoint %s", path)
 
     def restore_checkpoint(self, path: str) -> None:
@@ -140,6 +143,8 @@ class Trainer:
             "constants": self.state.constants, "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        restored = ocp.StandardCheckpointer().restore(Path(path).absolute(), target)
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(Path(path).absolute(), target)
+        ckptr.close()
         self.state = self.state.replace(**restored)
         logger.info("restored checkpoint %s (step %d)", path, int(self.state.step))
