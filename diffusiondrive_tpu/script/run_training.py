@@ -59,6 +59,24 @@ def main() -> None:
         )
         dataset = Dataset(scene_loader, feature_builders, target_builders, cache_path=args.cache_path)
 
+    if not hasattr(agent, "model"):
+        raise SystemExit(f"Agent '{args.agent}' does not support training.")
+
+    from diffusiondrive_tpu.models.transfuser_model import DiffusionDriveModel
+
+    if not isinstance(agent.model, DiffusionDriveModel):
+        # simple agents (e.g. ego_status_mlp_agent) train via the generic loop
+        from diffusiondrive_tpu.training.generic import train_agent
+
+        train_agent(agent, dataset, args.batch_size, args.epochs, seed=args.seed)
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(Path(args.output_dir).absolute() / "final", agent.variables, force=True)
+        ckptr.wait_until_finished()
+        ckptr.close()
+        return
+
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
     opt_cfg = OptimizerConfig(
         lr=args.lr,
