@@ -125,13 +125,20 @@ def run_pdm_score_evaluation(
                 rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
 
         if has_builders and valid_items:
-            # one batched device forward for the whole token batch
+            # one batched device forward; pad partial batches to the full
+            # batch size so every forward hits the same compiled program
             stacked = {
                 k: np.stack([item[2][k] for item in valid_items])
                 for k in valid_items[0][2].keys()
             }
+            n = len(valid_items)
+            if n < batch_size:
+                stacked = {
+                    k: np.concatenate([v, np.repeat(v[-1:], batch_size - n, axis=0)])
+                    for k, v in stacked.items()
+                }
             predictions = agent.forward(stacked)
-            poses = np.asarray(predictions["trajectory"], np.float32)
+            poses = np.asarray(predictions["trajectory"], np.float32)[:n]
             trajectories = [Trajectory(p) for p in poses]
 
         if not valid_items:
