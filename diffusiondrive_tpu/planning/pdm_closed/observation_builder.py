@@ -100,11 +100,14 @@ def build_planner_observation(
     names = list(frame.annotations.names)
     tokens = list(frame.annotations.track_tokens)
 
-    # filter by radius
-    keep = np.hypot(boxes_g[:, 0] - ego_pose[0], boxes_g[:, 1] - ego_pose[1]) <= map_radius
-    boxes_g, vel_g = boxes_g[keep], vel_g[keep]
-    names = [n for n, k in zip(names, keep) if k]
-    tokens = [t for t, k in zip(tokens, keep) if k]
+    # filter by radius, keep NEAREST first (PDMObjectManager collects nearest
+    # objects; truncation to max_objects must drop the farthest)
+    dist = np.hypot(boxes_g[:, 0] - ego_pose[0], boxes_g[:, 1] - ego_pose[1])
+    order = np.argsort(dist)
+    order = order[dist[order] <= map_radius]
+    boxes_g, vel_g = boxes_g[order], vel_g[order]
+    names = [names[i] for i in order]
+    tokens = [tokens[i] for i in order]
 
     red_lights = _red_light_polygons(scene, route_lane_tokens, map_api)
 
@@ -219,7 +222,12 @@ def build_gt_observation(
                 )
 
     O = max_objects
-    tokens = list(tracks.keys())[:O]
+    # nearest-first truncation (distance to ego at t=0)
+    ego0 = frames[0].ego_status.ego_pose
+    def _min_dist(token):
+        st = tracks[token][0]
+        return float(np.hypot(st[1] - ego0[0], st[2] - ego0[1]))
+    tokens = sorted(tracks.keys(), key=_min_dist)[:O]
     polygons = np.full((num_local, O, RING_PAD, 2), 1e6, np.float32)
     centers = np.full((num_local, O, 2), 1e6, np.float32)
     valid = np.zeros(O, bool)
@@ -267,7 +275,7 @@ def build_drivable_area_map(
     route_lane_tokens: Sequence[str],
     map_radius: float = 100.0,
     max_polygons: int = 256,
-    ring_pad: int = 24,
+    ring_pad: int = 48,
 ) -> DrivableAreaArrays:
     """Drivable map extraction (`pdm_occupancy_map.py:130-223`)."""
     rings: List[np.ndarray] = []
