@@ -15,6 +15,7 @@ dimension sharded over the mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List
 
 import jax
@@ -84,6 +85,13 @@ def pdm_states_from_cache(metric_cache: MetricCache, simulation_sampling: Trajec
     return states
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_batched_score(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
+    """One compiled vmapped simulate+score program per (simulator, scorer)
+    config — reused across every batch (a fresh jit per call would retrace)."""
+    return jax.jit(jax.vmap(_score_scene(simulator, scorer_config)))
+
+
 def _score_scene(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
     """Build the jittable per-scene (simulate + score) function."""
 
@@ -145,8 +153,7 @@ def batched_pdm_score(
     stacked = [np.stack(x) for x in zip(*ctx)]
     proposals = np.stack(proposals)  # (S, 2, N+1, 11)
 
-    run = _score_scene(simulator, scorer_config)
-    vmapped = jax.jit(jax.vmap(run))
+    vmapped = _jitted_batched_score(simulator, scorer_config)
     out: ScorerOutput = vmapped(jnp.asarray(proposals), *[jnp.asarray(x) for x in stacked])
 
     results = []
