@@ -154,7 +154,10 @@ def batched_pdm_score(
     proposals = np.stack(proposals)  # (S, 2, N+1, 11)
 
     vmapped = _jitted_batched_score(simulator, scorer_config)
-    out: ScorerOutput = vmapped(jnp.asarray(proposals), *[jnp.asarray(x) for x in stacked])
+    out = vmapped(jnp.asarray(proposals), *[jnp.asarray(x) for x in stacked])
+    # ONE device->host transfer for the whole batch; per-scalar indexing of
+    # device arrays would issue thousands of tiny fetches.
+    out = ScorerOutput(*jax.device_get(tuple(out)))
 
     results = []
     pred = 1

@@ -145,9 +145,14 @@ def run_pdm_score_evaluation(
             continue
 
         try:
-            results = batched_pdm_score(
-                [item[1] for item in valid_items], trajectories, simulator, scorer_config
-            )
+            # pad to the fixed batch size so scoring reuses one compiled shape
+            caches = [item[1] for item in valid_items]
+            trajs = list(trajectories)
+            n_valid = len(caches)
+            while len(caches) < batch_size:
+                caches.append(caches[-1])
+                trajs.append(trajs[-1])
+            results = batched_pdm_score(caches, trajs, simulator, scorer_config)[:n_valid]
         except Exception:
             logger.exception("Batched scoring failed; falling back to per-token.")
             results = []
