@@ -37,6 +37,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--num-hosts", type=int, default=int(os.environ.get("NUM_HOSTS", 1)))
 
 
+def _snapshot_config(config: dict, output_dir: Path) -> None:
+    """Persist the resolved run config (hydra snapshot parity)."""
+    output_dir.mkdir(parents=True, exist_ok=True)
+    with open(output_dir / "config.json", "w") as fp:
+        json.dump({k: str(v) for k, v in config.items()}, fp, indent=2)
+
+
 def main() -> None:
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(description=__doc__)
@@ -56,6 +63,7 @@ def main() -> None:
     )
     metric_cache_loader = MetricCacheLoader(Path(args.metric_cache_path))
 
+    _snapshot_config(vars(args), Path(args.output_dir))
     rows = run_pdm_score_evaluation(
         agent,
         scene_loader,

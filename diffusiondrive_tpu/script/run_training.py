@@ -43,6 +43,13 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
+    import json
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "config.json", "w") as fp:
+        json.dump({k: str(v) for k, v in vars(args).items()}, fp, indent=2)
+
     agent = build_agent(args.agent, **load_yaml(args.agent_config))
     feature_builders = agent.get_feature_builders()
     target_builders = agent.get_target_builders()

@@ -38,6 +38,7 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     constants: Any
     opt_state: Any
+    ema_params: Any = None  # populated when OptimizerConfig.ema_decay is set
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +51,7 @@ class OptimizerConfig:
     steps_per_epoch: int = 1
     image_encoder_lr_mult: float = 0.5
     grad_clip_norm: Optional[float] = None
+    ema_decay: Optional[float] = None  # e.g. 0.999 (config use_ema parity)
 
 
 def _param_labels(params: Any) -> Any:
@@ -109,12 +111,14 @@ def create_train_state(
         batch_stats=variables.get("batch_stats", FrozenDict()),
         constants=variables.get("constants", FrozenDict()),
         opt_state=tx.init(params),
+        ema_params=params if opt_cfg.ema_decay is not None else None,
     )
     return state, tx
 
 
 def make_train_step(
-    model, config: TransfuserConfig, tx: optax.GradientTransformation
+    model, config: TransfuserConfig, tx: optax.GradientTransformation,
+    ema_decay: Optional[float] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the (unjitted) train step; jit/shard it with `shard_train_step`."""
 
@@ -145,11 +149,17 @@ def make_train_step(
         grads, (loss_dict, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, state.ema_params, new_params
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         return new_state, loss_dict
 

@@ -54,7 +54,10 @@ class Trainer:
         self.state, tx = create_train_state(
             self.model, jax.random.PRNGKey(self.seed), example_batch, self.opt_cfg
         )
-        self._step_fn = shard_train_step(make_train_step(self.model, self.model_config, tx), self.mesh)
+        self._step_fn = shard_train_step(
+            make_train_step(self.model, self.model_config, tx, ema_decay=self.opt_cfg.ema_decay),
+            self.mesh,
+        )
 
     def fit(
         self,
