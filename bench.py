@@ -103,7 +103,7 @@ def _bench_scoring(num_scenes: int = 256) -> float:
         jnp.asarray(np.tile(np.stack([np.linspace(0, 100, 64), np.zeros(64)], -1), (S, 1, 1)).astype(np.float32)),
     )
     simulator = PDMSimulator(TrajectorySampling(num_poses=40, interval_length=0.1))
-    run = jax.jit(jax.vmap(_score_scene(simulator, PDMScorerConfig())))
+    run = _score_scene(simulator, PDMScorerConfig())  # internally two jitted programs
     out = run(*args)
     jax.block_until_ready(out)
     start = time.perf_counter()

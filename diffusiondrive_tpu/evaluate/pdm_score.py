@@ -86,19 +86,15 @@ def pdm_states_from_cache(metric_cache: MetricCache, simulation_sampling: Trajec
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_batched_score(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
-    """One compiled vmapped simulate+score program per (simulator, scorer)
-    config — reused across every batch (a fresh jit per call would retrace)."""
-    return jax.jit(jax.vmap(_score_scene(simulator, scorer_config)))
+def _jitted_simulate(simulator: PDMSimulator):
+    return jax.jit(jax.vmap(simulator.simulate_proposals))
 
 
-def _score_scene(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
-    """Build the jittable per-scene (simulate + score) function."""
-
-    def run(proposal_states, initial_state, tracks_polygons, tracks_centers, tracks_valid,
-            tracks_is_agent, tracks_is_red_light, tracks_is_stopped, tracks_previously_collided,
-            global_to_local, map_polygons, map_valid, map_layers, map_on_route, centerline):
-        simulated = simulator.simulate_proposals(proposal_states, initial_state)
+@functools.lru_cache(maxsize=8)
+def _jitted_score(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
+    def score_one(simulated, tracks_polygons, tracks_centers, tracks_valid, tracks_is_agent,
+                  tracks_is_red_light, tracks_is_stopped, tracks_previously_collided,
+                  global_to_local, map_polygons, map_valid, map_layers, map_on_route, centerline):
         return score_proposals(
             simulated,
             tracks_polygons, tracks_centers, tracks_valid, tracks_is_agent,
@@ -106,6 +102,22 @@ def _score_scene(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
             global_to_local, map_polygons, map_valid, map_layers, map_on_route,
             centerline, simulator.proposal_sampling, scorer_config,
         )
+
+    return jax.jit(jax.vmap(score_one))
+
+
+def _score_scene(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
+    """Per-scene (simulate + score); NOTE: compile simulate and score as two
+    programs — XLA's compile time explodes (~400s vs ~9s) when the 40-step
+    simulation scan and the dense polygon-test tensors are fused into one
+    vmapped computation."""
+
+    sim_fn = _jitted_simulate(simulator)
+    score_fn = _jitted_score(simulator, scorer_config)
+
+    def run(proposal_states, initial_state, *ctx):
+        simulated = sim_fn(proposal_states, initial_state)
+        return score_fn(simulated, *ctx)
 
     return run
 
@@ -153,8 +165,8 @@ def batched_pdm_score(
     stacked = [np.stack(x) for x in zip(*ctx)]
     proposals = np.stack(proposals)  # (S, 2, N+1, 11)
 
-    vmapped = _jitted_batched_score(simulator, scorer_config)
-    out = vmapped(jnp.asarray(proposals), *[jnp.asarray(x) for x in stacked])
+    run = _score_scene(simulator, scorer_config)
+    out = run(jnp.asarray(proposals), *[jnp.asarray(x) for x in stacked])
     # ONE device->host transfer for the whole batch; per-scalar indexing of
     # device arrays would issue thousands of tiny fetches.
     out = ScorerOutput(*jax.device_get(tuple(out)))

@@ -178,25 +178,30 @@ def lqr_track_step(
     steps = jnp.arange(H, dtype=v0.dtype)
     velocity_profile = v0[:, None] + accel_cmd[:, None] * steps[None, :] * dt  # (B, H)
 
-    # Lateral LTV composition over H steps
+    # Lateral LTV composition over H steps (fori_loop keeps the traced graph
+    # small — this runs inside a 40-step scan vmapped over scenes)
     B_ = v0.shape[0]
     I3 = jnp.eye(3, dtype=v0.dtype)
-    A = jnp.broadcast_to(I3, (B_, 3, 3))
-    Bm = jnp.zeros((B_, 3, 1), v0.dtype)
-    g = jnp.zeros((B_, 3), v0.dtype)
     in_matrix = jnp.asarray([[0.0], [0.0], [dt]], dtype=v0.dtype)
 
-    for k in range(H):
+    def compose(k, carry):
+        A, Bm, g = carry
         vk = velocity_profile[:, k]
         Ak = jnp.broadcast_to(I3, (B_, 3, 3))
         Ak = Ak.at[:, 0, 1].set(vk * dt)
         Ak = Ak.at[:, 1, 2].set(vk * dt / wheel_base)
-        gk = jnp.zeros((B_, 3), v0.dtype)
-        gk = gk.at[:, 1].set(-vk * curvature_profiles[:, k] * dt)
+        gk = jnp.zeros((B_, 3), v0.dtype).at[:, 1].set(-vk * curvature_profiles[:, k] * dt)
+        return (
+            jnp.einsum("bij,bjk->bik", Ak, A),
+            jnp.einsum("bij,bjk->bik", Ak, Bm) + in_matrix[None],
+            jnp.einsum("bij,bj->bi", Ak, g) + gk,
+        )
 
-        A = jnp.einsum("bij,bjk->bik", Ak, A)
-        Bm = jnp.einsum("bij,bjk->bik", Ak, Bm) + in_matrix[None]
-        g = jnp.einsum("bij,bj->bi", Ak, g) + gk
+    A, Bm, g = jax.lax.fori_loop(
+        0, H,
+        compose,
+        (jnp.broadcast_to(I3, (B_, 3, 3)), jnp.zeros((B_, 3, 1), v0.dtype), jnp.zeros((B_, 3), v0.dtype)),
+    )
 
     Q = jnp.diag(jnp.asarray(params.q_lateral, dtype=v0.dtype))
     err = jnp.einsum("bij,bj->bi", A, lat_state) + g
