@@ -53,22 +53,22 @@ def default_plan_anchors(num_modes: int = 20, num_poses: int = 8) -> np.ndarray:
     """Synthetic (num_modes, num_poses, 2) plan anchors.
 
     Stand-in for the kmeans anchors of navtrain trajectories
-    (`kmeans_navsim_traj_20.npy`); a fan of constant-curvature rollouts at
-    several speeds covering the same x/y ranges. Replaced by real kmeans
-    anchors via `DiffusionDriveAgent.initialize()` when a file is available.
+    (`kmeans_navsim_traj_20.npy`): a speed x lateral-end-offset fan of
+    quadratic lateral profiles, all strictly inside the diffusion
+    normalization box (x in [-1.2, 55.7], y in [-20, 26]). Replaced by real
+    kmeans anchors via `DiffusionDriveAgent.initialize()` when available.
     """
-    speeds = np.array([2.0, 6.0, 10.0, 14.0], dtype=np.float32)  # m/s
-    curvatures = np.array([-0.12, -0.04, 0.0, 0.04, 0.12], dtype=np.float32)  # 1/m
+    speeds = np.array([2.0, 6.0, 10.0, 13.5], dtype=np.float32)      # m/s
+    lateral_ends = np.array([-8.0, -3.0, 0.0, 3.0, 8.0], dtype=np.float32)  # m at horizon
     t = np.arange(1, num_poses + 1, dtype=np.float32) * 0.5
     anchors = []
     for v in speeds:
-        for k in curvatures:
-            s = v * t
-            if abs(k) < 1e-6:
-                xy = np.stack([s, np.zeros_like(s)], axis=-1)
-            else:
-                xy = np.stack([np.sin(k * s) / k, (1.0 - np.cos(k * s)) / k], axis=-1)
-            anchors.append(xy)
+        for y_end in lateral_ends:
+            x = v * t
+            frac = t / t[-1]
+            # scale lateral displacement with speed: slow modes stay tighter
+            y = y_end * (v / speeds[-1]) * frac**2
+            anchors.append(np.stack([x, y], axis=-1))
     anchors = np.stack(anchors[:num_modes], axis=0)
     return anchors.astype(np.float32)
 
