@@ -145,6 +145,11 @@ class DiffusionDriveAgent(AbstractAgent):
     def compute_loss(self, features, targets, predictions):
         return transfuser_loss(targets, predictions, self._config)["loss"]
 
+    def get_training_callbacks(self):
+        from diffusiondrive_tpu.training.callbacks import TimeLoggingCallback
+
+        return [TimeLoggingCallback()]
+
     def get_optimizers(self):
         opt_cfg = OptimizerConfig(lr=self._lr, weight_decay=self._config.weight_decay,
                                   image_encoder_lr_mult=self._config.cfg_lr_mult)
