@@ -85,7 +85,12 @@ class DiffusionDriveAgent(AbstractAgent):
 
     def initialize(self) -> None:
         cfg = self._config
-        if self._checkpoint_path:
+        if self._checkpoint_path and Path(self._checkpoint_path).suffix in (".pth", ".ckpt", ".pt", ".bin"):
+            # published torch checkpoint (e.g. the 88.1-PDMS weights)
+            from diffusiondrive_tpu.utils.port_transfuser import load_transfuser_checkpoint
+
+            self.variables = load_transfuser_checkpoint(self._checkpoint_path, cfg)
+        elif self._checkpoint_path:
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()
