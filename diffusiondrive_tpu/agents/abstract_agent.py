@@ -10,11 +10,11 @@ no-grad forward -> Trajectory) is preserved so PDMS harnesses run unchanged.
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 
-from diffusiondrive_tpu.common.dataclasses import AgentInput, Scene, SensorConfig, Trajectory
+from diffusiondrive_tpu.common.dataclasses import AgentInput, SensorConfig, Trajectory
 from diffusiondrive_tpu.training.abstract_feature_target_builder import (
     AbstractFeatureBuilder,
     AbstractTargetBuilder,

@@ -14,7 +14,6 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from diffusiondrive_tpu.agents.abstract_agent import AbstractAgent
 from diffusiondrive_tpu.agents.diffusiondrive.features import (
@@ -22,7 +21,7 @@ from diffusiondrive_tpu.agents.diffusiondrive.features import (
     TransfuserFeatureBuilder,
     TransfuserTargetBuilder,
 )
-from diffusiondrive_tpu.common.dataclasses import SensorConfig, Trajectory, TrajectorySampling
+from diffusiondrive_tpu.common.dataclasses import SensorConfig
 from diffusiondrive_tpu.models.config import TransfuserConfig
 from diffusiondrive_tpu.models.transfuser_model import DiffusionDriveModel
 from diffusiondrive_tpu.training.abstract_feature_target_builder import (
@@ -30,7 +29,6 @@ from diffusiondrive_tpu.training.abstract_feature_target_builder import (
     AbstractTargetBuilder,
 )
 from diffusiondrive_tpu.training.losses import transfuser_loss
-from diffusiondrive_tpu.training.scheduler import warmup_cos_lr
 from diffusiondrive_tpu.training.train import OptimizerConfig, build_optimizer
 
 

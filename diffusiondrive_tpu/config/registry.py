@@ -8,7 +8,6 @@ a name + kwargs dict (optionally loaded from a YAML file). Keeps the
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any, Callable, Dict, Optional
 
 _AGENTS: Dict[str, Callable[..., Any]] = {}

@@ -18,8 +18,8 @@ The `time index -> local map` subsampling (one occupancy map per
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
 import numpy as np
 

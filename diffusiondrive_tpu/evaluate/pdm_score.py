@@ -14,9 +14,8 @@ dimension sharded over the mesh.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ reduced with argmax/min — one XLA program per scene, vmappable over scenes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from diffusiondrive_tpu.models.config import TransfuserConfig
-from diffusiondrive_tpu.models.resnet import ARCH_SPECS, ResNetStage, ResNetStem, feature_channels
+from diffusiondrive_tpu.models.resnet import ARCH_SPECS, ResNetStage, ResNetStem
 from diffusiondrive_tpu.ops.sampling import adaptive_avg_pool2d, resize_bilinear
 
 

@@ -8,7 +8,7 @@ scale/shift from the timestep embedding (+ optional global conditioning).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ the deterministic Transfuser baseline.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 from diffusiondrive_tpu.common.dataclasses import TrajectorySampling
 

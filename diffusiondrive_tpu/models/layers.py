@@ -14,7 +14,7 @@ attention is the right choice — flash-style kernels would only add overhead.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ cv2 in a (W, H) canvas, then rot90 + flip to the (H, W) ego-centric frame.
 
 from __future__ import annotations
 
-from typing import List
 
 import numpy as np
 

@@ -10,15 +10,13 @@ constructed programmatically for tests/synthetic scenes.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from functools import lru_cache
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from diffusiondrive_tpu.evaluate.observation import MapLayer
 
 
 @dataclass

@@ -8,7 +8,6 @@ from __future__ import annotations
 import argparse
 import logging
 import pickle
-from pathlib import Path
 
 
 def main() -> None:

@@ -11,7 +11,7 @@ supplies `model`, `variables`, an optax transformation, and a loss over
 from __future__ import annotations
 
 import logging
-from typing import Callable, Dict, Iterable, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 from flax.core import FrozenDict
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from diffusiondrive_tpu.models.config import TransfuserConfig
 from diffusiondrive_tpu.parallel.mesh import batch_sharding, replicated

@@ -6,7 +6,6 @@ frame, colored by height or intensity.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
