@@ -171,14 +171,20 @@ def shard_train_step(train_step: Callable, mesh: Mesh) -> Callable:
 
     The SPMD partitioner turns the implied gradient reduction into a single
     ICI all-reduce per step — the TPU equivalent of DDP.
+
+    State buffers are donated on accelerators (halves peak param+opt memory).
+    On the virtual-CPU test mesh donation is disabled: XLA:CPU with 8-way
+    SPMD + donated aliases intermittently aborts the process under load
+    (observed only in full-suite runs; never on TPU).
     """
     batch_sh = batch_sharding(mesh)
     repl = replicated(mesh)
+    donate_state = mesh.devices.flat[0].platform != "cpu"
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate_state else (),
     )
 
 
