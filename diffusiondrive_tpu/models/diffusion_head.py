@@ -262,10 +262,11 @@ class DiffusionTrajectoryHead(nn.Module):
     # ------------------------------------------------------------------ #
 
     def __call__(self, ego_query, agents_query, bev_feature, status_encoding, *,
-                 targets: Optional[Dict[str, jnp.ndarray]] = None, train: bool = False):
+                 targets: Optional[Dict[str, jnp.ndarray]] = None, train: bool = False,
+                 noise: Optional[jnp.ndarray] = None):
         if train:
             return self.forward_train(ego_query, agents_query, bev_feature, targets)
-        return self.forward_test(ego_query, agents_query, bev_feature)
+        return self.forward_test(ego_query, agents_query, bev_feature, noise=noise)
 
     def forward_train(self, ego_query, agents_query, bev_feature, targets):
         """Returns dict with per-layer (reg, cls) stacks for the loss and the
@@ -297,15 +298,20 @@ class DiffusionTrajectoryHead(nn.Module):
             "plan_anchor": anchors,
         }
 
-    def forward_test(self, ego_query, agents_query, bev_feature):
-        """Truncated 2-step DDIM rollout (`transfuser_model_v2.py:578-641`)."""
+    def forward_test(self, ego_query, agents_query, bev_feature,
+                     noise: Optional[jnp.ndarray] = None):
+        """Truncated 2-step DDIM rollout (`transfuser_model_v2.py:578-641`).
+
+        `noise` optionally fixes the anchor-noising draw (deterministic /
+        reproducible inference; also used by the torch-parity test).
+        """
         cfg = self.config
         B = ego_query.shape[0]
         anchors = self.plan_anchor.value[None].repeat(B, axis=0)
 
-        noise_rng = self.make_rng("diffusion")
         img = norm_odo(anchors)
-        noise = jax.random.normal(noise_rng, img.shape, dtype=img.dtype)
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("diffusion"), img.shape, dtype=img.dtype)
         trunc_t = jnp.full((B,), cfg.diffusion_test_trunc_t, dtype=jnp.int32)
         img = self.scheduler.add_noise(img, noise, trunc_t)
 

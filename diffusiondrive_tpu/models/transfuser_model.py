@@ -83,6 +83,7 @@ class DiffusionDriveModel(nn.Module):
         status_feature: jnp.ndarray,   # (B, 8): command(4) + velocity(2) + accel(2)
         targets: Optional[Dict[str, jnp.ndarray]] = None,
         train: bool = False,
+        diffusion_noise: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
         deterministic = not train
@@ -136,7 +137,7 @@ class DiffusionDriveModel(nn.Module):
         if self.trajectory_head_type == "diffusion":
             trajectory = DiffusionTrajectoryHead(cfg, dtype=self.dtype, name="trajectory_head")(
                 ego_query, agents_query, cross_bev, status_encoding[:, None],
-                targets=targets, train=train,
+                targets=targets, train=train, noise=diffusion_noise,
             )
         else:
             trajectory = MLPTrajectoryHead(cfg, dtype=self.dtype, name="trajectory_head")(ego_query)
