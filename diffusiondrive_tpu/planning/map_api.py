@@ -13,10 +13,24 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from functools import lru_cache
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+
+def _point_ring_distance(point: np.ndarray, ring: np.ndarray) -> float:
+    """Distance from a point to a polygon ring's boundary/interior (0 inside)."""
+    from diffusiondrive_tpu.planning.pdm_closed.np_geometry import point_in_polygon
+
+    if point_in_polygon(point[None], ring)[0]:
+        return 0.0
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    ab = b - a
+    len2 = np.maximum(np.sum(ab**2, axis=-1), 1e-12)
+    t = np.clip(np.sum((point - a) * ab, axis=-1) / len2, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    return float(np.linalg.norm(point - proj, axis=-1).min())
 
 
 @dataclass
@@ -49,6 +63,7 @@ class LocalMapAPI:
         self._objects = list(objects)
         self._by_layer: Dict[int, List[MapObjectData]] = {}
         self._by_token: Dict[str, MapObjectData] = {}
+        self._lanes_by_parent: Optional[Dict[str, List[MapObjectData]]] = None
         for obj in self._objects:
             self._by_layer.setdefault(obj.layer, []).append(obj)
             self._by_token[obj.token] = obj
@@ -62,6 +77,36 @@ class LocalMapAPI:
 
     def get_map_object(self, token: str) -> Optional[MapObjectData]:
         return self._by_token.get(token)
+
+    def lanes_of_roadblock(self, roadblock_token: str) -> List[MapObjectData]:
+        """Interior lanes of a roadblock (lanes whose parent is the roadblock),
+        the `roadblock.interior_edges` of nuplan's map API."""
+        if self._lanes_by_parent is None:
+            by_parent: Dict[str, List[MapObjectData]] = {}
+            for obj in self._objects:
+                if obj.parent_token is not None:
+                    by_parent.setdefault(obj.parent_token, []).append(obj)
+            self._lanes_by_parent = by_parent
+        return self._lanes_by_parent.get(roadblock_token, [])
+
+    def get_distance_to_nearest_map_object(
+        self, point: Sequence[float], layer: int
+    ) -> Tuple[Optional[str], float]:
+        """Token + distance of the nearest object of a layer (0 inside),
+        mirroring `map_api.get_distance_to_nearest_map_object`."""
+        objs = self._by_layer.get(layer, [])
+        if not objs:
+            return None, float("inf")
+        p = np.asarray([point[0], point[1]], dtype=np.float64)
+        # coarse order by center distance, exact ring distance on the few nearest
+        order = np.argsort(np.linalg.norm(self._centers[layer] - p, axis=-1) - self._radii[layer])
+        best_token, best_dist = None, float("inf")
+        for idx in order[: min(len(order), 8)]:
+            obj = objs[int(idx)]
+            d = _point_ring_distance(p, obj.polygon)
+            if d < best_dist:
+                best_token, best_dist = obj.token, d
+        return best_token, best_dist
 
     def get_proximal_map_objects(
         self, point: Sequence[float], radius: float, layers: Sequence[int]

@@ -83,7 +83,10 @@ class BreadthFirstSearchRoadBlock:
         self._forward = forward
 
     def search(self, target_ids: List[str], max_depth: int = 30) -> Tuple[Optional[List[str]], bool]:
-        """BFS until any target roadblock id is reached; returns id path."""
+        """BFS until any target roadblock id is reached; returns id path in
+        *driving order* (for backward search the raw parent chain already runs
+        target -> start in driving order and is left unreversed, matching
+        `bfs_roadblock.py:_construct_path`)."""
         targets = set(target_ids)
         start = self._map_api.get_map_object(self._start_id)
         if start is None:
@@ -96,7 +99,8 @@ class BreadthFirstSearchRoadBlock:
                 path = [token]
                 while parent[path[-1]] is not None:
                     path.append(parent[path[-1]])
-                path.reverse()
+                if self._forward:
+                    path.reverse()
                 return path, True
             if d >= max_depth:
                 continue

@@ -79,3 +79,24 @@ def corridor_intersects_polygon(corridor_polyline: np.ndarray, half_width: float
     """Whether a polygon intersects the corridor = polyline buffered by
     half_width (square caps approximated by the segment-distance test)."""
     return polyline_polygon_distance(corridor_polyline, ring) <= half_width
+
+
+def polygon_intersection_area(ring_a: np.ndarray, ring_b: np.ndarray, resolution: int = 96) -> float:
+    """Approximate intersection area of two polygon rings.
+
+    Replaces shapely's `geom.intersection(polygon).area` used by route-loop
+    removal (`route_utils.py:203`). Supports non-convex rings by counting a
+    dense grid of cell centers over the bounding-box overlap; with the default
+    resolution the error is far below the 1 m^2 loop-detection threshold for
+    roadblock-scale polygons.
+    """
+    lo = np.maximum(ring_a.min(axis=0), ring_b.min(axis=0))
+    hi = np.minimum(ring_a.max(axis=0), ring_b.max(axis=0))
+    if np.any(hi <= lo):
+        return 0.0
+    xs = np.linspace(lo[0], hi[0], resolution, endpoint=False) + (hi[0] - lo[0]) / (2 * resolution)
+    ys = np.linspace(lo[1], hi[1], resolution, endpoint=False) + (hi[1] - lo[1]) / (2 * resolution)
+    grid = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)
+    inside = point_in_polygon(grid, ring_a) & point_in_polygon(grid, ring_b)
+    cell_area = (hi[0] - lo[0]) * (hi[1] - lo[1]) / (resolution * resolution)
+    return float(inside.sum() * cell_area)

@@ -25,19 +25,20 @@ import numpy as np
 from diffusiondrive_tpu.common.dataclasses import Scene, TrajectorySampling
 from diffusiondrive_tpu.common.enums import StateIndex
 from diffusiondrive_tpu.common.geometry import StateSE2, normalize_angle, parallel_discrete_path
-from diffusiondrive_tpu.evaluate.observation import DrivableAreaArrays, MapLayer, TrackArrays
+from diffusiondrive_tpu.evaluate.observation import DrivableAreaArrays, TrackArrays
 from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig, score_proposals
 from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
 from diffusiondrive_tpu.evaluate.state_array import state_array_to_coords_array
 from diffusiondrive_tpu.evaluate.vehicle import get_pacifica_parameters
 from diffusiondrive_tpu.planning.map_api import LocalMapAPI, MapObjectData
-from diffusiondrive_tpu.planning.pdm_closed.graph_search import BreadthFirstSearchRoadBlock, Dijkstra
+from diffusiondrive_tpu.planning.pdm_closed.graph_search import Dijkstra
 from diffusiondrive_tpu.planning.pdm_closed.idm import BatchIDMPolicy, PDMProposalManager
 from diffusiondrive_tpu.planning.pdm_closed.np_geometry import (
     corridor_intersects_polygon,
     point_in_polygon,
     polygon_distance,
 )
+from diffusiondrive_tpu.planning.pdm_closed.route_correction import route_roadblock_correction
 from diffusiondrive_tpu.planning.pdm_closed.observation_builder import (
     build_drivable_area_map,
     build_planner_observation,
@@ -97,55 +98,16 @@ class PDMClosedPlanner:
 
     def _lanes_of_roadblock(self, roadblock: MapObjectData) -> List[str]:
         """Interior lanes of a roadblock (lanes with parent_token == roadblock)."""
-        if not hasattr(self._map_api, "_lanes_by_parent"):
-            by_parent: Dict[str, List[str]] = {}
-            for layer in (MapLayer.LANE, MapLayer.LANE_CONNECTOR):
-                for obj in self._map_api._by_layer.get(layer, []):
-                    if obj.parent_token:
-                        by_parent.setdefault(obj.parent_token, []).append(obj.token)
-            self._map_api._lanes_by_parent = by_parent
-        return self._map_api._lanes_by_parent.get(roadblock.token, [])
+        return [lane.token for lane in self._map_api.lanes_of_roadblock(roadblock.token)]
 
     def _route_roadblock_correction(self, ego_state: np.ndarray) -> None:
-        """BFS-based route correction (`route_utils.py:101-216`, simplified:
-        if ego's current roadblock is off-route, search forward/backward to
-        reconnect and prepend/trim)."""
-        current = self._current_roadblock(ego_state)
-        if current is None or not self._route_roadblock_dict:
+        """Full route correction (`route_utils.py:97-216` via
+        `route_correction.route_roadblock_correction`), then reload the route
+        dicts from the corrected ids (`abstract_pdm_planner.py:64-75`)."""
+        if not self._route_roadblock_dict:
             return
-        route_ids = list(self._route_roadblock_dict.keys())
-        if current.token in route_ids:
-            # trim roadblocks before the current one
-            idx = route_ids.index(current.token)
-            self._load_route_dicts(route_ids[idx:])
-            return
-        # forward search from current roadblock into the route
-        bfs = BreadthFirstSearchRoadBlock(self._map_api, current.token, forward=True)
-        path, found = bfs.search(route_ids, max_depth=15)
-        if found:
-            join_idx = route_ids.index(path[-1])
-            self._load_route_dicts(path[:-1] + route_ids[join_idx:])
-            return
-        # backward search: ego may be ahead of the route start
-        bfs = BreadthFirstSearchRoadBlock(self._map_api, current.token, forward=False)
-        path, found = bfs.search(route_ids, max_depth=30)
-        if found:
-            self._load_route_dicts([current.token] + route_ids)
-
-    def _current_roadblock(self, ego_state: np.ndarray) -> Optional[MapObjectData]:
-        point = ego_state[StateIndex.POINT]
-        found = self._map_api.get_proximal_map_objects(
-            point, 1.0, [MapLayer.ROADBLOCK, MapLayer.ROADBLOCK_CONNECTOR]
-        )
-        candidates = found.get(MapLayer.ROADBLOCK, []) + found.get(MapLayer.ROADBLOCK_CONNECTOR, [])
-        best, best_dist = None, np.inf
-        for rb in candidates:
-            d = 0.0 if point_in_polygon(point[None], rb.polygon)[0] else float(
-                np.linalg.norm(rb.polygon - point, axis=-1).min()
-            )
-            if d < best_dist:
-                best, best_dist = rb, d
-        return best
+        corrected = route_roadblock_correction(ego_state, self._map_api, self._route_roadblock_dict)
+        self._load_route_dicts(corrected)
 
     def _get_starting_lane(self, ego_state: np.ndarray) -> Optional[MapObjectData]:
         """On-route lane containing ego with min heading error, else nearest
