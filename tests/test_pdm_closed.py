@@ -6,37 +6,11 @@ import pytest
 from diffusiondrive_tpu.common.dataclasses import SceneFilter, SensorConfig
 from diffusiondrive_tpu.common.dataloader import MetricCacheLoader, SceneLoader
 from diffusiondrive_tpu.common.enums import StateIndex
-from diffusiondrive_tpu.evaluate.observation import MapLayer
-from diffusiondrive_tpu.planning.map_api import LocalMapAPI, MapObjectData
 from diffusiondrive_tpu.planning.pdm_closed.planner import PDMClosedConfig, PDMClosedPlanner
 
 
-def make_straight_map(num_blocks=4, block_len=100.0, width=8.0, start_x=-100.0):
-    """Straight road: chained roadblocks, one lane each, baseline along y=0."""
-    objects = []
-    for i in range(num_blocks):
-        x0 = start_x + i * block_len
-        x1 = x0 + block_len
-        rect = np.array([[x0, -width / 2], [x1, -width / 2], [x1, width / 2], [x0, width / 2]])
-        rb_token, lane_token = f"rb{i}", f"lane{i}"
-        objects.append(
-            MapObjectData(
-                token=rb_token, layer=MapLayer.ROADBLOCK, polygon=rect,
-                outgoing=[f"rb{i+1}"] if i + 1 < num_blocks else [],
-                incoming=[f"rb{i-1}"] if i > 0 else [],
-            )
-        )
-        baseline_x = np.arange(x0, x1 + 1.0, 1.0)
-        baseline = np.stack([baseline_x, np.zeros_like(baseline_x), np.zeros_like(baseline_x)], axis=-1)
-        objects.append(
-            MapObjectData(
-                token=lane_token, layer=MapLayer.LANE, polygon=rect, baseline=baseline,
-                outgoing=[f"lane{i+1}"] if i + 1 < num_blocks else [],
-                incoming=[f"lane{i-1}"] if i > 0 else [],
-                parent_token=rb_token, speed_limit=15.0,
-            )
-        )
-    return LocalMapAPI(objects, "synthetic")
+# shared fixture (also used by quickstart + bench); re-exported for older tests
+from diffusiondrive_tpu.utils.synthetic import make_straight_map  # noqa: E402
 
 
 @pytest.fixture(scope="module")
