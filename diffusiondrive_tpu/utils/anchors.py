@@ -1,0 +1,94 @@
+"""Plan-anchor generation: k-means over GT future trajectories.
+
+The reference ships pre-computed anchors (`kmeans_navsim_traj_20.npy`, loaded
+at `transfuser_model_v2.py:453-458`) but no tool to produce them. Anchors are
+derived data — this module regenerates them from any source of GT futures
+(cached dataset targets or a SceneLoader), making the framework
+self-sufficient. Output shape: (num_modes, num_poses, 2), consumed via
+`TransfuserConfig.plan_anchor_path` by `DiffusionDriveAgent.initialize()`.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Iterable, List
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def kmeans(points: np.ndarray, num_clusters: int, num_iters: int = 50, seed: int = 0) -> np.ndarray:
+    """Plain Lloyd's k-means with k-means++ init over (N, D) rows.
+
+    Deterministic for a given seed; empty clusters are re-seeded to the point
+    farthest from its assigned centroid.
+    """
+    n = points.shape[0]
+    if n < num_clusters:
+        raise ValueError(f"need >= {num_clusters} samples, got {n}")
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding
+    centroids = [points[rng.integers(n)]]
+    for _ in range(1, num_clusters):
+        d2 = np.min(
+            np.sum((points[:, None] - np.stack(centroids)[None]) ** 2, axis=-1), axis=-1
+        )
+        probs = d2 / max(d2.sum(), 1e-12)
+        centroids.append(points[rng.choice(n, p=probs)])
+    centroids = np.stack(centroids)
+
+    for _ in range(num_iters):
+        d2 = np.sum((points[:, None] - centroids[None]) ** 2, axis=-1)  # (N, K)
+        assign = np.argmin(d2, axis=-1)
+        new_centroids = centroids.copy()
+        for k in range(num_clusters):
+            members = points[assign == k]
+            if len(members):
+                new_centroids[k] = members.mean(axis=0)
+            else:  # re-seed an empty cluster with the worst-fit point
+                new_centroids[k] = points[np.argmax(np.min(d2, axis=-1))]
+        if np.allclose(new_centroids, centroids):
+            centroids = new_centroids
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_plan_anchors(
+    trajectories: np.ndarray, num_modes: int = 20, num_iters: int = 50, seed: int = 0
+) -> np.ndarray:
+    """(N, P, >=2) GT futures -> (num_modes, P, 2) anchor trajectories."""
+    xy = np.asarray(trajectories, np.float64)[..., :2]
+    n, p, _ = xy.shape
+    centroids = kmeans(xy.reshape(n, p * 2), num_modes, num_iters=num_iters, seed=seed)
+    return centroids.reshape(num_modes, p, 2).astype(np.float32)
+
+
+def collect_trajectories_from_cache(cache_path: Path,
+                                    builder_name: str = "transfuser_target") -> np.ndarray:
+    """Stack GT `trajectory` targets from a cached dataset
+    (`cache/<log>/<token>/<builder>.gz`, see `training/dataset.py`)."""
+    from diffusiondrive_tpu.training.dataset import load_feature_target
+
+    rows: List[np.ndarray] = []
+    for gz in sorted(Path(cache_path).rglob(f"{builder_name}.gz")):
+        data = load_feature_target(gz)
+        if "trajectory" in data:
+            rows.append(np.asarray(data["trajectory"], np.float32))
+    if not rows:
+        raise FileNotFoundError(f"no '{builder_name}.gz' with a 'trajectory' key under {cache_path}")
+    return np.stack(rows)
+
+
+def collect_trajectories_from_scenes(scene_loader, num_poses: int = 8) -> np.ndarray:
+    """Stack GT futures straight from a SceneLoader (no feature cache needed)."""
+    rows: List[np.ndarray] = []
+    for token in scene_loader.tokens:
+        scene = scene_loader.get_scene_from_token(token)
+        rows.append(scene.get_future_trajectory(num_poses).poses.astype(np.float32))
+    if not rows:
+        raise ValueError("scene loader yielded no scenes")
+    return np.stack(rows)
