@@ -80,6 +80,13 @@ def _ensure_builtins() -> None:
     _AGENTS.setdefault("diffusiondrive_nuscenes_agent", _diffusiondrive_nuscenes)
 
 
+def agent_from_config(agent_cfg: Dict[str, Any]):
+    """Build an agent from a composed config group: {name: ..., **kwargs}."""
+    kwargs = dict(agent_cfg)
+    name = kwargs.pop("name")
+    return build_agent(name, **kwargs)
+
+
 def load_yaml(path: Optional[str]) -> Dict[str, Any]:
     if not path:
         return {}
@@ -90,7 +97,39 @@ def load_yaml(path: Optional[str]) -> Dict[str, Any]:
 
 
 def load_split(path: Optional[str]) -> Dict[str, Any]:
-    """Load a train/test split YAML: {log_names: [...], tokens: [...]} (both
-    optional). Mirrors the reference's scene_filter config group."""
+    """Load a train/test split YAML (see `splits/`): scene-filter fields plus
+    optional log_names/tokens lists and the OpenScene `data_split` subdir.
+    Mirrors the reference's train_test_split + scene_filter config groups.
+    A bare name (e.g. "navtest") resolves against the vendored `splits/`."""
+    if path and not str(path).endswith((".yaml", ".yml")):
+        from pathlib import Path
+
+        candidate = Path(__file__).resolve().parents[2] / "splits" / f"{path}.yaml"
+        if candidate.exists():
+            path = str(candidate)
     data = load_yaml(path)
-    return {"log_names": data.get("log_names"), "tokens": data.get("tokens")}
+    return {
+        "log_names": data.get("log_names"),
+        "tokens": data.get("tokens"),
+        "data_split": data.get("data_split"),
+        "num_history_frames": data.get("num_history_frames", 4),
+        "num_future_frames": data.get("num_future_frames", 10),
+        "frame_interval": data.get("frame_interval"),
+        "has_route": data.get("has_route", True),
+        "max_scenes": data.get("max_scenes"),
+    }
+
+
+def scene_filter_from_split(split: Dict[str, Any]):
+    """SceneFilter from a loaded split dict."""
+    from diffusiondrive_tpu.common.dataclasses import SceneFilter
+
+    return SceneFilter(
+        num_history_frames=split.get("num_history_frames", 4),
+        num_future_frames=split.get("num_future_frames", 10),
+        frame_interval=split.get("frame_interval"),
+        has_route=split.get("has_route", True),
+        max_scenes=split.get("max_scenes"),
+        log_names=split.get("log_names"),
+        tokens=split.get("tokens"),
+    )

@@ -20,6 +20,12 @@ Layer mapping (nuplan-maps-v1.0 GPKG):
 Graph fields: lanes carry parent roadblock (lane_group_fid) and outgoing
 lane-connector successors; roadblocks chain through lane_group_connectors.
 
+The conversion is split so the schema logic is testable without the geo
+stack: `rows_from_gpkg` (geopandas IO -> plain row dicts with numpy geometry)
+feeds `build_map_objects` (pure: fid normalization, graph building, roadblock
+graph derivation). Unit tests exercise the pure half with fixture rows
+mirroring the GPKG schema (`tests/test_convert_maps.py`).
+
 Usage:
     python -m diffusiondrive_tpu.planning.convert_maps \
         --nuplan-maps-root $NUPLAN_MAPS_ROOT --output-dir $DD_MAPS_ROOT \
@@ -42,7 +48,7 @@ logger = logging.getLogger(__name__)
 
 MAP_LOCATIONS = ("sg-one-north", "us-ma-boston", "us-nv-las-vegas-strip", "us-pa-pittsburgh-hazelwood")
 
-_POLYGON_LAYERS = {
+POLYGON_LAYERS = {
     "lanes_polygons": MapLayer.LANE,
     "lane_connectors": MapLayer.LANE_CONNECTOR,
     "lane_groups_polygons": MapLayer.ROADBLOCK,
@@ -53,6 +59,13 @@ _POLYGON_LAYERS = {
     "walkways": MapLayer.WALKWAYS,
     "crosswalks": MapLayer.CROSSWALK,
 }
+
+BASELINE_LAYER = "baseline_paths"
+
+
+# --------------------------------------------------------------------------- #
+# Geometry extraction (shapely objects -> numpy; used only on the IO side)
+# --------------------------------------------------------------------------- #
 
 
 def _exterior(geom) -> Optional[np.ndarray]:
@@ -66,12 +79,19 @@ def _exterior(geom) -> Optional[np.ndarray]:
     return np.asarray(geom.exterior.coords, dtype=np.float64)[:, :2]
 
 
-def _baseline_poses(line) -> Optional[np.ndarray]:
-    """LineString -> (M, 3) poses with headings from segment directions."""
+def _line_coords(line) -> Optional[np.ndarray]:
     if line is None or line.is_empty:
         return None
-    xy = np.asarray(line.coords, dtype=np.float64)[:, :2]
-    if len(xy) < 2:
+    if line.geom_type == "MultiLineString":
+        line = max(line.geoms, key=lambda g: g.length)
+    if line.geom_type != "LineString":
+        return None
+    return np.asarray(line.coords, dtype=np.float64)[:, :2]
+
+
+def baseline_poses_from_coords(xy: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    """(M, 2) polyline -> (M, 3) poses; headings from segment directions."""
+    if xy is None or len(xy) < 2:
         return None
     d = np.diff(xy, axis=0)
     headings = np.arctan2(d[:, 1], d[:, 0])
@@ -79,67 +99,85 @@ def _baseline_poses(line) -> Optional[np.ndarray]:
     return np.concatenate([xy, headings[:, None]], axis=1)
 
 
-def convert_location(gpkg_path: Path, location: str) -> LocalMapAPI:
-    import geopandas as gpd
+# --------------------------------------------------------------------------- #
+# Pure schema logic over plain row dicts
+# --------------------------------------------------------------------------- #
 
-    layers: Dict[str, "gpd.GeoDataFrame"] = {}
-    for layer_name in list(_POLYGON_LAYERS) + ["baseline_paths"]:
-        try:
-            layers[layer_name] = gpd.read_file(gpkg_path, layer=layer_name)
-        except Exception:
-            logger.warning("%s: layer %s missing", location, layer_name)
 
-    # baseline paths keyed by lane fid
+def _fid(value) -> Optional[str]:
+    """Normalize a GPKG fid (int/float/str, possibly NaN) to a string token."""
+    if value is None or _isnan(value):
+        return None
+    if isinstance(value, float) and value.is_integer():
+        return str(int(value))
+    return str(value)
+
+
+def _isnan(value) -> bool:
+    try:
+        return bool(np.isnan(value))
+    except (TypeError, ValueError):
+        return False
+
+
+def build_map_objects(
+    layer_rows: Dict[str, List[dict]], location: str = "local"
+) -> LocalMapAPI:
+    """Pure conversion of GPKG-schema row dicts into a LocalMapAPI.
+
+    `layer_rows[layer_name]` is a list of dicts with the GPKG columns used:
+      - all polygon layers: `fid`, `polygon` ((N,2) ndarray);
+      - lanes_polygons: + `lane_group_fid`, `speed_limit_mps`;
+      - lane_connectors: + `lane_group_connector_fid`, `exit_lane_fid`,
+        `entry_lane_fid`, `speed_limit_mps`;
+      - baseline_paths: `lane_fid` or `lane_connector_fid`, `coords`
+        ((M,2) ndarray polyline).
+    """
+    # baseline paths keyed by lane / lane-connector fid
     baselines: Dict[str, np.ndarray] = {}
-    if "baseline_paths" in layers:
-        df = layers["baseline_paths"]
-        lane_col = next((c for c in ("lane_fid", "lane_connector_fid", "fid") if c in df.columns), None)
-        for _, row in df.iterrows():
-            poses = _baseline_poses(row.geometry)
-            if poses is None:
-                continue
-            for col in ("lane_fid", "lane_connector_fid"):
-                if col in df.columns and row.get(col) is not None and not _isnan(row.get(col)):
-                    baselines[_fid(row[col])] = poses
-
-    objects: List[MapObjectData] = []
-    lane_succ: Dict[str, List[str]] = {}
-    lane_pred: Dict[str, List[str]] = {}
+    for row in layer_rows.get(BASELINE_LAYER, []):
+        poses = baseline_poses_from_coords(row.get("coords"))
+        if poses is None:
+            continue
+        for col in ("lane_fid", "lane_connector_fid"):
+            token = _fid(row.get(col))
+            if token is not None:
+                baselines[token] = poses
 
     # lane connectors define the lane graph: exit_lane -> connector -> entry_lane
-    if "lane_connectors" in layers:
-        df = layers["lane_connectors"]
-        for _, row in df.iterrows():
-            token = _fid(row.get("fid"))
-            exit_lane = _fid(row.get("exit_lane_fid"))
-            entry_lane = _fid(row.get("entry_lane_fid"))
-            if exit_lane:
-                lane_succ.setdefault(exit_lane, []).append(token)
-                lane_pred.setdefault(token, []).append(exit_lane)
-            if entry_lane:
-                lane_succ.setdefault(token, []).append(entry_lane)
-                lane_pred.setdefault(entry_lane, []).append(token)
-
-    for layer_name, layer_id in _POLYGON_LAYERS.items():
-        if layer_name not in layers:
+    lane_succ: Dict[str, List[str]] = {}
+    lane_pred: Dict[str, List[str]] = {}
+    for row in layer_rows.get("lane_connectors", []):
+        token = _fid(row.get("fid"))
+        exit_lane = _fid(row.get("exit_lane_fid"))
+        entry_lane = _fid(row.get("entry_lane_fid"))
+        if token is None:
             continue
-        df = layers[layer_name]
-        for _, row in df.iterrows():
+        if exit_lane:
+            lane_succ.setdefault(exit_lane, []).append(token)
+            lane_pred.setdefault(token, []).append(exit_lane)
+        if entry_lane:
+            lane_succ.setdefault(token, []).append(entry_lane)
+            lane_pred.setdefault(entry_lane, []).append(token)
+
+    objects: List[MapObjectData] = []
+    for layer_name, layer_id in POLYGON_LAYERS.items():
+        for row in layer_rows.get(layer_name, []):
             token = _fid(row.get("fid"))
-            ring = _exterior(row.geometry)
+            ring = row.get("polygon")
             if ring is None or token is None:
                 continue
             parent = None
             speed_limit = None
             if layer_id in (MapLayer.LANE, MapLayer.LANE_CONNECTOR):
-                parent = _fid(row.get("lane_group_fid") or row.get("lane_group_connector_fid"))
+                parent = _fid(row.get("lane_group_fid")) or _fid(row.get("lane_group_connector_fid"))
                 sl = row.get("speed_limit_mps")
                 speed_limit = float(sl) if sl is not None and not _isnan(sl) else None
             objects.append(
                 MapObjectData(
                     token=token,
                     layer=layer_id,
-                    polygon=ring,
+                    polygon=np.asarray(ring, dtype=np.float64),
                     baseline=baselines.get(token),
                     outgoing=lane_succ.get(token, []),
                     incoming=lane_pred.get(token, []),
@@ -172,19 +210,36 @@ def convert_location(gpkg_path: Path, location: str) -> LocalMapAPI:
     return LocalMapAPI(objects, location)
 
 
-def _fid(value) -> Optional[str]:
-    if value is None or _isnan(value):
-        return None
-    if isinstance(value, float) and value.is_integer():
-        return str(int(value))
-    return str(value)
+# --------------------------------------------------------------------------- #
+# GPKG IO (geopandas side)
+# --------------------------------------------------------------------------- #
 
 
-def _isnan(value) -> bool:
-    try:
-        return bool(np.isnan(value))
-    except (TypeError, ValueError):
-        return False
+def rows_from_gpkg(gpkg_path: Path) -> Dict[str, List[dict]]:
+    """Read the used GPKG layers into plain row dicts with numpy geometry."""
+    import geopandas as gpd
+
+    rows: Dict[str, List[dict]] = {}
+    for layer_name in list(POLYGON_LAYERS) + [BASELINE_LAYER]:
+        try:
+            df = gpd.read_file(gpkg_path, layer=layer_name)
+        except Exception:
+            logger.warning("%s: layer %s missing", gpkg_path, layer_name)
+            continue
+        out: List[dict] = []
+        for _, row in df.iterrows():
+            record = {c: row.get(c) for c in df.columns if c != "geometry"}
+            if layer_name == BASELINE_LAYER:
+                record["coords"] = _line_coords(row.geometry)
+            else:
+                record["polygon"] = _exterior(row.geometry)
+            out.append(record)
+        rows[layer_name] = out
+    return rows
+
+
+def convert_location(gpkg_path: Path, location: str) -> LocalMapAPI:
+    return build_map_objects(rows_from_gpkg(gpkg_path), location)
 
 
 def main() -> None:
