@@ -13,9 +13,10 @@ import traceback
 from pathlib import Path
 from typing import Dict
 
-from diffusiondrive_tpu.common.dataclasses import SceneFilter, Trajectory
+from diffusiondrive_tpu.common.dataclasses import Trajectory
 from diffusiondrive_tpu.common.dataloader import SceneLoader
-from diffusiondrive_tpu.config.registry import build_agent, load_split, load_yaml
+from diffusiondrive_tpu.config.registry import agent_from_config, load_split, scene_filter_from_split
+from diffusiondrive_tpu.script.cli_common import add_common_args, resolve_run_config, snapshot_config
 
 logger = logging.getLogger(__name__)
 
@@ -38,38 +39,41 @@ def run_test_evaluation(agent, scene_loader) -> Dict[str, Trajectory]:
 def main() -> None:
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--agent", default="diffusiondrive_agent")
-    parser.add_argument("--agent-config", default=None)
-    parser.add_argument("--navsim-log-path", default=os.environ.get("OPENSCENE_DATA_ROOT"))
-    parser.add_argument("--sensor-blobs-path", default=os.environ.get("OPENSCENE_SENSOR_ROOT"))
-    parser.add_argument("--split", default=None)
-    parser.add_argument("--output-dir", default=os.environ.get("NAVSIM_EXP_ROOT", "exp"))
-    parser.add_argument("--team-name", required=True)
-    parser.add_argument("--authors", required=True)
-    parser.add_argument("--email", required=True)
-    parser.add_argument("--institution", required=True)
-    parser.add_argument("--country", required=True)
+    add_common_args(parser, default_agent="diffusiondrive_agent")
+    parser.add_argument("--team-name", default=None)
+    parser.add_argument("--authors", default=None)
+    parser.add_argument("--email", default=None)
+    parser.add_argument("--institution", default=None)
+    parser.add_argument("--country", default=None)
     args = parser.parse_args()
 
-    agent = build_agent(args.agent, **load_yaml(args.agent_config))
-    split = load_split(args.split)
+    cfg = resolve_run_config(args)
+    for field in ("team_name", "authors", "email", "institution", "country"):
+        if getattr(args, field, None):
+            cfg[field] = getattr(args, field)
+        if not cfg.get(field):
+            parser.error(f"--{field.replace('_', '-')} (or {field} in --config) is required")
+    snapshot_config(cfg, Path(cfg["output_dir"]))
+
+    agent = agent_from_config(cfg["agent"])
+    split = load_split(cfg.get("split"))
     scene_loader = SceneLoader(
-        Path(args.navsim_log_path),
-        Path(args.sensor_blobs_path) if args.sensor_blobs_path else None,
-        SceneFilter(log_names=split["log_names"], tokens=split["tokens"]),
+        Path(cfg["navsim_log_path"]),
+        Path(cfg["sensor_blobs_path"]) if cfg.get("sensor_blobs_path") else None,
+        scene_filter_from_split(split),
         agent.get_sensor_config(),
         build_map_api=False,
     )
     predictions = run_test_evaluation(agent, scene_loader)
     submission = {
-        "team_name": args.team_name,
-        "authors": args.authors,
-        "email": args.email,
-        "institution": args.institution,
-        "country": args.country,
+        "team_name": cfg["team_name"],
+        "authors": cfg["authors"],
+        "email": cfg["email"],
+        "institution": cfg["institution"],
+        "country": cfg["country"],
         "predictions": [predictions],
     }
-    out = Path(args.output_dir)
+    out = Path(cfg["output_dir"])
     out.mkdir(parents=True, exist_ok=True)
     with open(out / "submission.pkl", "wb") as fp:
         pickle.dump(submission, fp)

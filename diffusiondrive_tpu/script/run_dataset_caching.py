@@ -11,41 +11,44 @@ import logging
 import os
 from pathlib import Path
 
-from diffusiondrive_tpu.common.dataclasses import SceneFilter
 from diffusiondrive_tpu.common.dataloader import SceneLoader
-from diffusiondrive_tpu.config.registry import build_agent, load_split, load_yaml
+from diffusiondrive_tpu.config.registry import agent_from_config, load_split, scene_filter_from_split
+from diffusiondrive_tpu.script.cli_common import add_common_args, resolve_run_config, snapshot_config
 from diffusiondrive_tpu.training.dataset import Dataset
 
 
 def main() -> None:
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--agent", default="diffusiondrive_agent")
-    parser.add_argument("--agent-config", default=None)
-    parser.add_argument("--navsim-log-path", default=os.environ.get("OPENSCENE_DATA_ROOT"))
-    parser.add_argument("--sensor-blobs-path", default=os.environ.get("OPENSCENE_SENSOR_ROOT"))
-    parser.add_argument("--split", default=None)
-    parser.add_argument("--cache-path", required=True)
+    add_common_args(parser, default_agent="diffusiondrive_agent")
+    parser.add_argument("--cache-path", default=None)
     parser.add_argument("--force", action="store_true")
     parser.add_argument("--num-workers", type=int, default=16)
     args = parser.parse_args()
 
-    agent = build_agent(args.agent, **load_yaml(args.agent_config))
-    split = load_split(args.split)
+    cfg = resolve_run_config(args)
+    if args.cache_path:
+        cfg["cache_path"] = args.cache_path
+    if not cfg.get("cache_path"):
+        parser.error("--cache-path (or cache_path in --config) is required")
+    snapshot_config(cfg, Path(cfg["output_dir"]))
+
+    agent = agent_from_config(cfg["agent"])
+    split = load_split(cfg.get("split"))
     scene_loader = SceneLoader(
-        Path(args.navsim_log_path),
-        Path(args.sensor_blobs_path) if args.sensor_blobs_path else None,
-        SceneFilter(log_names=split["log_names"], tokens=split["tokens"]),
+        Path(cfg["navsim_log_path"]),
+        Path(cfg["sensor_blobs_path"]) if cfg.get("sensor_blobs_path") else None,
+        scene_filter_from_split(split),
         agent.get_sensor_config(),
     )
     dataset = Dataset(
         scene_loader,
         agent.get_feature_builders(),
         agent.get_target_builders(),
-        cache_path=args.cache_path,
-        force_cache_computation=args.force,
+        cache_path=cfg["cache_path"],
+        force_cache_computation=bool(cfg.get("force")),
     )
-    logging.info("Cached %d tokens to %s", len(dataset), args.cache_path)
+    logging.info("Cached %d tokens to %s", len(dataset), cfg["cache_path"])
 
 
 if __name__ == "__main__":

@@ -16,63 +16,51 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import os
 from pathlib import Path
 
-from diffusiondrive_tpu.common.dataclasses import SceneFilter
 from diffusiondrive_tpu.common.dataloader import MetricCacheLoader, SceneLoader
-from diffusiondrive_tpu.config.registry import build_agent, load_split, load_yaml
+from diffusiondrive_tpu.config.registry import agent_from_config, load_split, scene_filter_from_split
 from diffusiondrive_tpu.evaluate.runner import run_pdm_score_evaluation, write_score_csv
-
-
-def add_common_args(parser: argparse.ArgumentParser) -> None:
-    parser.add_argument("--navsim-log-path", default=os.environ.get("OPENSCENE_DATA_ROOT"))
-    parser.add_argument("--sensor-blobs-path", default=os.environ.get("OPENSCENE_SENSOR_ROOT"))
-    parser.add_argument("--split", default=None, help="YAML with log_names/tokens lists")
-    parser.add_argument("--output-dir", default=os.environ.get("NAVSIM_EXP_ROOT", "exp"))
-    parser.add_argument("--agent", default="constant_velocity_agent")
-    parser.add_argument("--agent-config", default=None, help="YAML of agent kwargs")
-    parser.add_argument("--batch-size", type=int, default=32)
-    parser.add_argument("--host-id", type=int, default=int(os.environ.get("HOST_ID", 0)))
-    parser.add_argument("--num-hosts", type=int, default=int(os.environ.get("NUM_HOSTS", 1)))
-
-
-def _snapshot_config(config: dict, output_dir: Path) -> None:
-    """Persist the resolved run config (hydra snapshot parity)."""
-    output_dir.mkdir(parents=True, exist_ok=True)
-    with open(output_dir / "config.json", "w") as fp:
-        json.dump({k: str(v) for k, v in config.items()}, fp, indent=2)
+from diffusiondrive_tpu.script.cli_common import add_common_args, resolve_run_config, snapshot_config
 
 
 def main() -> None:
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
-    parser.add_argument("--metric-cache-path", required=True)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--metric-cache-path", default=None)
     args = parser.parse_args()
 
-    agent = build_agent(args.agent, **load_yaml(args.agent_config))
-    split = load_split(args.split)
-    scene_filter = SceneFilter(log_names=split["log_names"], tokens=split["tokens"])
+    cfg = resolve_run_config(args)
+    cfg.setdefault("metric_cache_path", args.metric_cache_path)
+    if args.metric_cache_path:
+        cfg["metric_cache_path"] = args.metric_cache_path
+    if not cfg.get("metric_cache_path"):
+        parser.error("--metric-cache-path (or metric_cache_path in --config) is required")
+
+    agent = agent_from_config(cfg["agent"])
+    split = load_split(cfg.get("split"))
+    scene_filter = scene_filter_from_split(split)
     scene_loader = SceneLoader(
-        Path(args.navsim_log_path),
-        Path(args.sensor_blobs_path) if args.sensor_blobs_path else None,
+        Path(cfg["navsim_log_path"]),
+        Path(cfg["sensor_blobs_path"]) if cfg.get("sensor_blobs_path") else None,
         scene_filter,
         agent.get_sensor_config(),
         build_map_api=False,
     )
-    metric_cache_loader = MetricCacheLoader(Path(args.metric_cache_path))
+    metric_cache_loader = MetricCacheLoader(Path(cfg["metric_cache_path"]))
 
-    _snapshot_config(vars(args), Path(args.output_dir))
+    snapshot_config(cfg, Path(cfg["output_dir"]))
     rows = run_pdm_score_evaluation(
         agent,
         scene_loader,
         metric_cache_loader,
-        batch_size=args.batch_size,
-        host_id=args.host_id,
-        num_hosts=args.num_hosts,
+        batch_size=int(cfg.get("batch_size", 32)),
+        host_id=int(cfg.get("host_id", 0)),
+        num_hosts=int(cfg.get("num_hosts", 1)),
     )
-    out = write_score_csv(rows, Path(args.output_dir))
+    out = write_score_csv(rows, Path(cfg["output_dir"]))
     print(json.dumps({"output_csv": str(out), "num_tokens": len(rows)}))
 
 
