@@ -46,10 +46,12 @@ class DiffusionDriveAgent(AbstractAgent):
         dtype: Any = jnp.bfloat16,
         seed: int = 0,
         preprocess_on_device: bool = False,
+        use_ema: bool = False,
     ):
         self._config = config or TransfuserConfig()
         self._lr = lr
         self._checkpoint_path = checkpoint_path
+        self._use_ema = use_ema
         self._seed = seed
         self._preprocess_on_device = preprocess_on_device
         self.model = DiffusionDriveModel(self._config, trajectory_head_type=trajectory_head_type,
@@ -92,8 +94,19 @@ class DiffusionDriveAgent(AbstractAgent):
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()
-            self.variables = ckptr.restore(Path(self._checkpoint_path).absolute())
+            restored = ckptr.restore(Path(self._checkpoint_path).absolute())
             ckptr.close()
+            # accept either bare model variables or a full Trainer checkpoint
+            # (params/batch_stats/constants/opt_state[/ema_params]); with
+            # use_ema=True the EMA weights drive inference
+            params = restored.get("ema_params") if self._use_ema else None
+            if params is None:
+                if self._use_ema:
+                    raise ValueError(f"use_ema=True but {self._checkpoint_path} has no ema_params")
+                params = restored["params"]
+            self.variables = {"params": params,
+                              "batch_stats": restored.get("batch_stats", {}),
+                              "constants": restored.get("constants", {})}
         else:
             rng = jax.random.PRNGKey(self._seed)
             camera = jnp.zeros((1, cfg.camera_height, cfg.camera_width, 3), jnp.float32)

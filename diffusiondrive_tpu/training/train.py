@@ -188,6 +188,46 @@ def shard_train_step(train_step: Callable, mesh: Mesh) -> Callable:
     )
 
 
+def make_val_step(model, config: TransfuserConfig) -> Callable:
+    """Validation step running the *test-path* forward (truncated 2-step DDIM,
+    the planner program an eval run uses) plus the loss suite and open-loop
+    trajectory metrics (ADE/FDE). Unlike the reference's validation (which
+    replays the train path, `agent_lightning_module.py:38-44`), this validates
+    what inference actually executes."""
+
+    def val_step(variables: Dict[str, Any], batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        targets = {
+            "trajectory": batch["trajectory"],
+            "agent_states": batch["agent_states"],
+            "agent_labels": batch["agent_labels"],
+            "bev_semantic_map": batch["bev_semantic_map"],
+        }
+        outputs = model.apply(
+            variables,
+            batch["camera_feature"],
+            batch["lidar_feature"],
+            batch["status_feature"],
+            train=False,
+            rngs={"diffusion": rng},
+        )
+        metrics = dict(transfuser_loss(targets, outputs, config))
+        l2 = jnp.linalg.norm(outputs["trajectory"][..., :2] - targets["trajectory"][..., :2], axis=-1)
+        metrics["ade"] = l2.mean()
+        metrics["fde"] = l2[:, -1].mean()
+        return metrics
+
+    return val_step
+
+
+def shard_val_step(val_step: Callable, mesh: Mesh) -> Callable:
+    """jit the validation step with the batch sharded over `data`."""
+    return jax.jit(
+        val_step,
+        in_shardings=(replicated(mesh), batch_sharding(mesh), replicated(mesh)),
+        out_shardings=replicated(mesh),
+    )
+
+
 def make_eval_step(model) -> Callable:
     """Planner forward (test path) for batched evaluation."""
 

@@ -23,7 +23,9 @@ from diffusiondrive_tpu.training.train import (
     TrainState,
     create_train_state,
     make_train_step,
+    make_val_step,
     shard_train_step,
+    shard_val_step,
 )
 
 logger = logging.getLogger(__name__)
@@ -48,7 +50,9 @@ class Trainer:
         self.output_dir = Path(output_dir) if output_dir else None
         self.seed = seed
         self.state: Optional[TrainState] = None
+        self.last_val_metrics: Dict[str, float] = {}
         self._step_fn = None
+        self._val_fn = None
 
     def setup(self, example_batch: Dict[str, np.ndarray]) -> None:
         self.state, tx = create_train_state(
@@ -58,6 +62,12 @@ class Trainer:
             make_train_step(self.model, self.model_config, tx, ema_decay=self.opt_cfg.ema_decay),
             self.mesh,
         )
+        self._val_fn = shard_val_step(make_val_step(self.model, self.model_config), self.mesh)
+
+    def _variables(self, use_ema: bool = False) -> Dict:
+        params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
+        return {"params": params, "batch_stats": self.state.batch_stats,
+                "constants": self.state.constants}
 
     def fit(
         self,
@@ -66,6 +76,7 @@ class Trainer:
         val_batches: Optional[Callable[[int], Iterable[Dict[str, np.ndarray]]]] = None,
         log_every: int = 50,
         checkpoint_every_epochs: int = 1,
+        validate_every_epochs: int = 1,
     ) -> TrainState:
         rng = jax.random.PRNGKey(self.seed + 1)
         with self.mesh:
@@ -90,48 +101,44 @@ class Trainer:
                 logger.info("epoch %d done in %.1fs (%d steps): train %s", epoch, wall, count,
                             {k: round(v, 4) for k, v in means.items()})
 
-                if val_batches is not None:
+                if val_batches is not None and (epoch + 1) % validate_every_epochs == 0:
                     self._validate(val_batches(epoch), epoch)
                 if self.output_dir and (epoch + 1) % checkpoint_every_epochs == 0:
                     self.save_checkpoint(epoch)
         return self.state
 
-    def _validate(self, batches: Iterable[Dict[str, np.ndarray]], epoch: int) -> None:
-        from diffusiondrive_tpu.training.losses import transfuser_loss
-
-        # validation reuses the train-path forward (deterministic rngs)
+    def _validate(self, batches: Iterable[Dict[str, np.ndarray]], epoch: int) -> Dict[str, float]:
+        """Jitted test-path validation (2-step DDIM forward, the program eval
+        runs); when EMA is enabled the EMA weights are validated too."""
         totals: Dict[str, float] = {}
         count = 0
+        rng = jax.random.PRNGKey(0)  # fixed key: deterministic val noise draw
+        variants = [("", self._variables(use_ema=False))]
+        if self.state.ema_params is not None:
+            variants.append(("ema_", self._variables(use_ema=True)))
         for batch in batches:
-            targets = {k: batch[k] for k in ("trajectory", "agent_states", "agent_labels", "bev_semantic_map")
-                       if k in batch}
-            outputs = self.model.apply(
-                {"params": self.state.params, "batch_stats": self.state.batch_stats,
-                 "constants": self.state.constants},
-                batch["camera_feature"], batch["lidar_feature"], batch["status_feature"],
-                targets=targets, train=True,
-                rngs={"diffusion": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
-                mutable=["batch_stats"],
-            )[0]
-            loss_dict = transfuser_loss(targets, outputs, self.model_config)
-            for k, v in loss_dict.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            sharded = shard_batch(batch, self.mesh)
+            for prefix, variables in variants:
+                metrics = self._val_fn(variables, sharded, rng)
+                for k, v in metrics.items():
+                    totals[prefix + k] = totals.get(prefix + k, 0.0) + float(v)
             count += 1
-        logger.info("epoch %d val: %s", epoch,
-                    {k: round(v / max(count, 1), 4) for k, v in totals.items()})
+        means = {k: v / max(count, 1) for k, v in totals.items()}
+        self.last_val_metrics = means
+        logger.info("epoch %d val: %s", epoch, {k: round(v, 4) for k, v in means.items()})
+        return means
 
     def save_checkpoint(self, epoch: int) -> None:
         import orbax.checkpoint as ocp
 
         path = (self.output_dir / f"epoch_{epoch:04d}").absolute()
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path,
-            {"params": self.state.params, "batch_stats": self.state.batch_stats,
-             "constants": self.state.constants, "opt_state": self.state.opt_state,
-             "step": self.state.step},
-            force=True,
-        )
+        payload = {"params": self.state.params, "batch_stats": self.state.batch_stats,
+                   "constants": self.state.constants, "opt_state": self.state.opt_state,
+                   "step": self.state.step}
+        if self.state.ema_params is not None:
+            payload["ema_params"] = self.state.ema_params
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         ckptr.close()
         logger.info("saved checkpoint %s", path)
@@ -146,6 +153,8 @@ class Trainer:
             "constants": self.state.constants, "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+        if self.state.ema_params is not None:
+            target["ema_params"] = self.state.ema_params
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(Path(path).absolute(), target)
         ckptr.close()
