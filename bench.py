@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +58,19 @@ def main() -> None:
     jax.block_until_ready(out)
     batch_fps = measure(fn, variables, camera_b, lidar_b, status_b, iters=10, trials=5, frames=B)
 
+    # MFU: XLA-analyzed forward FLOPs / measured time / chip peak
+    peak = _peak_bf16_flops(jax.devices()[0])
+    flops_b1 = _xla_flops(fn, variables, camera, lidar, status)
+    flops_b16 = _xla_flops(fn, variables, camera_b, lidar_b, status_b)
+    mfu_b1 = flops_b1 * fps / peak if flops_b1 else None
+    mfu_b16 = flops_b16 * (batch_fps / B) / peak if flops_b16 else None
+
     # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene)
     scoring_sps = _bench_scoring()
+
+    # Host-in-the-loop evaluation throughput: cache load + agent + batched
+    # simulate/score + row assembly (the `run_pdm_score.py` hot loop)
+    e2e_sps = _bench_e2e_eval()
 
     print(
         json.dumps(
@@ -69,13 +81,92 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "extra": {
                     "batch16_throughput_fps": round(batch_fps, 2),
+                    "mfu_batch1": round(mfu_b1, 4) if mfu_b1 else None,
+                    "mfu_batch16": round(mfu_b16, 4) if mfu_b16 else None,
+                    "peak_bf16_tflops": round(peak / 1e12, 1),
                     "pdm_scoring_scenes_per_s": round(scoring_sps, 1),
+                    "e2e_eval_scenes_per_s": round(e2e_sps, 1) if e2e_sps else None,
                     "baseline_fps": BASELINE_FPS,
                     "device": str(jax.devices()[0]),
                 },
             }
         )
     )
+
+
+def _peak_bf16_flops(device) -> float:
+    """Per-chip peak bf16 FLOP/s by device kind (public spec numbers)."""
+    kind = getattr(device, "device_kind", "").lower()
+    if "v6" in kind:
+        return 918e12
+    if "v5p" in kind:
+        return 459e12
+    if "v5" in kind:  # v5e / v5 lite
+        return 197e12
+    if "v4" in kind:
+        return 275e12
+    return 197e12
+
+
+def _xla_flops(fn, *args) -> float:
+    """Analytic per-execution FLOPs from XLA's compiled cost analysis."""
+    try:
+        analysis = fn.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _bench_e2e_eval(num_tokens: int = 512, batch_size: int = 128) -> float:
+    """Scenes/s through `run_pdm_score_evaluation` including all host work:
+    metric-cache IO, agent trajectory, batched device scoring, row assembly.
+    One metric cache is computed with the real PDM-Closed planner and
+    replicated across tokens (identical device work per scene)."""
+    import shutil
+    import tempfile
+
+    from diffusiondrive_tpu.agents.constant_velocity_agent import ConstantVelocityAgent
+    from diffusiondrive_tpu.common.dataclasses import SceneFilter, SensorConfig
+    from diffusiondrive_tpu.common.dataloader import MetricCacheLoader, SceneLoader
+    from diffusiondrive_tpu.evaluate.runner import run_pdm_score_evaluation
+    from diffusiondrive_tpu.planning.metric_caching import MetricCacheProcessor
+    from diffusiondrive_tpu.utils.synthetic import build_synthetic_log, make_straight_map
+
+    root = Path(tempfile.mkdtemp(prefix="dd_bench_"))
+    try:
+        logs_dir, blobs_dir = build_synthetic_log(root / "data", num_frames=num_tokens + 14)
+        # frame_interval=1: one (overlapping) scene per frame -> num_tokens scenes
+        loader = SceneLoader(logs_dir, blobs_dir, SceneFilter(frame_interval=1),
+                             SensorConfig.build_no_sensors(), build_map_api=False)
+        tokens = loader.tokens[:num_tokens]
+
+        processor = MetricCacheProcessor(str(root / "cache"))
+        scene = loader.get_scene_from_token(tokens[0])
+        template = processor.compute_metric_cache(scene, make_straight_map())
+        for token in tokens[1:]:
+            dst = template.parent.parent / token / template.name
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy(template, dst)
+
+        cache_loader = MetricCacheLoader(root / "cache")
+        agent = ConstantVelocityAgent()
+        run = lambda: run_pdm_score_evaluation(  # noqa: E731
+            agent, loader, cache_loader, batch_size=batch_size)
+        run()  # warm-up: compiles the batched scoring programs
+        start = time.perf_counter()
+        rows = run()
+        elapsed = time.perf_counter() - start
+        assert all(r["valid"] for r in rows[:num_tokens])
+        return len(rows) / elapsed
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        return 0.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _bench_scoring(num_scenes: int = 256) -> float:

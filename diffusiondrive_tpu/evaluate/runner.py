@@ -77,6 +77,10 @@ def run_pdm_score_evaluation(
 
     rows: List[Dict[str, Any]] = []
     pool = ThreadPoolExecutor(max_workers=num_io_threads)
+    # single-slot prefetcher double-buffers batch N+1's IO under batch N's
+    # device work (separate executor: a shared pool could deadlock with the
+    # inner pool.map holding all workers)
+    prefetcher = ThreadPoolExecutor(max_workers=1)
 
     def load_one(token: str):
         """Host-side IO + preprocessing for one token; exceptions become
@@ -100,9 +104,18 @@ def run_pdm_score_evaluation(
             return token, cache, features, None
         return token, cache, agent_input, None
 
-    for start in range(0, len(tokens), batch_size):
-        batch_tokens = tokens[start : start + batch_size]
-        loaded = list(pool.map(load_one, batch_tokens))
+    def load_batch(batch_tokens: List[str]):
+        return list(pool.map(load_one, batch_tokens))
+
+    batches = [tokens[s : s + batch_size] for s in range(0, len(tokens), batch_size)]
+    pending = prefetcher.submit(load_batch, batches[0]) if batches else None
+
+    for batch_idx, batch_tokens in enumerate(batches):
+        loaded = pending.result()
+        if batch_idx + 1 < len(batches):
+            # kick off the next batch's sensor IO before touching the device:
+            # host threads decode jpeg/pcd while the TPU runs this batch
+            pending = prefetcher.submit(load_batch, batches[batch_idx + 1])
 
         valid_items, trajectories = [], []
         for token, cache, payload, scene in loaded:
@@ -170,6 +183,7 @@ def run_pdm_score_evaluation(
                 rows.append({"token": token, "valid": True, **_result_to_row(res)})
 
     pool.shutdown()
+    prefetcher.shutdown()
     return rows
 
 

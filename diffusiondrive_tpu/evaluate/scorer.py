@@ -62,6 +62,12 @@ class PDMScorerConfig:
     stopped_speed_threshold: float = 5e-3           # [m/s] (ttc)
     progress_distance_threshold: float = 5.0        # [m]
 
+    # Sequential chunk over the object dim for the dense collision/TTC
+    # edge-pair tensors ((B,T,S,O,5,V) floats): lax.map keeps only one chunk
+    # of O live at a time, lifting the scene-batch HBM ceiling ~O/chunk x.
+    # None disables chunking.
+    object_chunk: int = 16
+
 
 class ScorerOutput(NamedTuple):
     """Per-proposal final score and sub-metrics (all shape (B,))."""
@@ -96,6 +102,37 @@ def _is_behind(ego_pose: jnp.ndarray, target_xy: jnp.ndarray) -> jnp.ndarray:
         xp=jnp,
     )
     return jnp.abs(angle) > np.deg2rad(BEHIND_ANGLE_DEG)
+
+
+def _intersect_over_object_chunks(ego_rings: jnp.ndarray, polys: jnp.ndarray,
+                                  chunk: int) -> jnp.ndarray:
+    """`polygons_intersect(ego_rings[..., None], polys)` with the object dim
+    O processed in sequential chunks via `lax.map`, bounding the live
+    edge-pair intermediates to one chunk of O.
+
+    :param ego_rings: (..., 5, 2) ego rings, batch dims say (B, T[, S])
+    :param polys: (T[, S], O, V, 2) track rings (no leading B)
+    :return: bool (B, T[, S], O)
+    """
+    import jax
+
+    O = polys.shape[-3]
+    if not chunk or O <= chunk:
+        return polygons_intersect(ego_rings[..., None, :, :], polys[None])
+    n_chunks = -(-O // chunk)
+    pad = n_chunks * chunk - O
+    polys_p = jnp.concatenate([polys, jnp.repeat(polys[..., -1:, :, :], pad, axis=-3)], axis=-3) \
+        if pad else polys
+    # (T[,S], n, chunk, V, 2) -> (n, T[,S], chunk, V, 2)
+    polys_c = polys_p.reshape(*polys.shape[:-3], n_chunks, chunk, *polys.shape[-2:])
+    polys_c = jnp.moveaxis(polys_c, -4, 0)
+
+    def body(p):
+        return polygons_intersect(ego_rings[..., None, :, :], p[None])  # (B, T[,S], chunk)
+
+    hits = jax.lax.map(body, polys_c)                 # (n, B, T[,S], chunk)
+    hits = jnp.moveaxis(hits, 0, -2)                  # (B, T[,S], n, chunk)
+    return hits.reshape(*hits.shape[:-2], n_chunks * chunk)[..., :O]
 
 
 def score_proposals(
@@ -152,7 +189,7 @@ def score_proposals(
     polys_t = track_polygons[g2l]        # (T, O, V, 2)
     centers_t = track_centers[g2l]       # (T, O, 2)
 
-    collides = polygons_intersect(ego_rings[:, :, None], polys_t[None]) & track_valid  # (B, T, O)
+    collides = _intersect_over_object_chunks(ego_rings, polys_t, config.object_chunk) & track_valid  # (B, T, O)
 
     eligible = track_valid & ~track_is_red_light & ~track_previously_collided
     collides_eligible = collides & eligible
@@ -244,7 +281,7 @@ def score_proposals(
     polys_fut = track_polygons[g2l_fut]                                      # (T, S, O, V, 2)
     centers_fut = track_centers[g2l_fut]                                     # (T, S, O, 2)
 
-    ttc_hits = polygons_intersect(ttc_rings[:, :, :, None], polys_fut[None]) & track_valid  # (B, T, S, O)
+    ttc_hits = _intersect_over_object_chunks(ttc_rings, polys_fut, config.object_chunk) & track_valid  # (B, T, S, O)
     moving = speeds >= config.stopped_speed_threshold                        # (B, T)
     ttc_events = ttc_hits & eligible & moving[:, :, None, None]
 
