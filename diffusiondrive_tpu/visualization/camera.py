@@ -82,6 +82,26 @@ def add_lidar_to_camera(image: np.ndarray, camera: Camera, lidar: Lidar) -> np.n
     return out
 
 
+def add_trajectory_to_camera(image: np.ndarray, camera: Camera, poses: np.ndarray,
+                             color: str = "#DE5D4F", z: float = 0.0) -> np.ndarray:
+    """Project a local-frame trajectory ((N, >=2) poses) onto the camera image
+    as a connected ground-plane polyline."""
+    import cv2
+
+    out = image.copy()
+    pts = np.concatenate([np.asarray(poses)[:, :2], np.full((len(poses), 1), z)], axis=1)
+    uv, ok = project_points_to_camera(pts, camera)
+    bgr = tuple(int(color.lstrip("#")[i : i + 2], 16) for i in (4, 2, 0))
+    uv = uv.astype(int)
+    for a in range(len(uv) - 1):
+        if ok[a] and ok[a + 1]:
+            cv2.line(out, tuple(uv[a]), tuple(uv[a + 1]), bgr, 2)
+    for a in range(len(uv)):
+        if ok[a]:
+            cv2.circle(out, tuple(uv[a]), 3, bgr, -1)
+    return out
+
+
 def camera_tile(cameras: Cameras, order: Optional[List[str]] = None) -> np.ndarray:
     """Stack available camera images into one tile image (rows of 3)."""
     order = order or ["cam_l0", "cam_f0", "cam_r0", "cam_l2", "cam_b0", "cam_r2"]

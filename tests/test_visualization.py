@@ -82,3 +82,40 @@ def test_camera_projection_and_tiles(synthetic_log):
 
     tile = camera_tile(frame.cameras)
     assert tile.ndim == 3 and tile.shape[0] >= cam.image.shape[0] - 1
+
+
+def test_camera_grid_plots(synthetic_log):
+    """3x3 camera grid with BEV center tile, in all three overlay modes."""
+    import matplotlib.pyplot as plt
+
+    from diffusiondrive_tpu.visualization import (
+        plot_cameras_frame,
+        plot_cameras_frame_with_annotations,
+        plot_cameras_frame_with_lidar,
+    )
+
+    scene = _scene(synthetic_log, sensors=True)
+    for fn in (plot_cameras_frame, plot_cameras_frame_with_lidar,
+               plot_cameras_frame_with_annotations):
+        fig, axes = fn(scene)
+        assert axes.shape == (3, 3)
+        # 8 camera tiles carry images; the BEV center tile carries patches
+        n_images = sum(len(ax.images) for row in axes for ax in row)
+        assert n_images == 8, n_images
+        assert len(axes[1][1].patches) >= 1  # BEV center: ego box at least
+        plt.close(fig)
+
+
+def test_trajectory_camera_projection(synthetic_log):
+    import numpy as np
+
+    from diffusiondrive_tpu.visualization import add_trajectory_to_camera
+
+    scene = _scene(synthetic_log, sensors=True)
+    cam = scene.frames[3].cameras.cam_f0
+    cam.sensor2lidar_rotation = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+    cam.sensor2lidar_translation = np.array([1.5, 0.0, 1.6])
+    cam.intrinsics = np.array([[1000.0, 0, 960], [0, 1000.0, 540], [0, 0, 1]])
+    poses = np.stack([np.linspace(4, 20, 8), np.zeros(8), np.zeros(8)], -1)
+    out = add_trajectory_to_camera(cam.image, cam, poses)
+    assert out.shape == cam.image.shape and (out != cam.image).any()
