@@ -74,8 +74,15 @@ def _ensure_builtins() -> None:
         )
         return _diffusiondrive(config=config_kwargs, **kwargs)
 
+    def _diffusion_policy(**kwargs):
+        # ablation: vanilla diffusion-policy head — ConditionalUnet1D denoiser,
+        # full-range training noise, 20-step DDIM from pure noise
+        # (`modules/conditional_unet1d.py`; SURVEY §2.5 ablation config #2)
+        return _diffusiondrive(trajectory_head_type="unet", **kwargs)
+
     _AGENTS.setdefault("diffusiondrive_agent", _diffusiondrive)
     _AGENTS.setdefault("transfuser_agent", _transfuser)
+    _AGENTS.setdefault("diffusion_policy_agent", _diffusion_policy)
     _AGENTS.setdefault("diffusiondrive_vanilla_ddim_agent", _vanilla_ddim)
     _AGENTS.setdefault("diffusiondrive_nuscenes_agent", _diffusiondrive_nuscenes)
 

@@ -337,3 +337,74 @@ class DiffusionTrajectoryHead(nn.Module):
             "poses_reg": poses_reg,
             "poses_cls": poses_cls,
         }
+
+
+class UnetTrajectoryHead(nn.Module):
+    """Vanilla diffusion-policy trajectory head (the 20-step DDIM ablation).
+
+    The reference keeps `ConditionalUnet1D`
+    (`modules/conditional_unet1d.py:130-322`) as the legacy vanilla-DP
+    denoiser that DiffusionDrive's truncated head is ablated against
+    (`README.md:36`: 2 steps vs 20, "10x reduction"; SURVEY §2.5 ablation
+    config #2). This wires it end-to-end: the normalized (x, y, heading)
+    trajectory is denoised with sample-prediction DDIM, FiLM-conditioned on
+    the ego query + status encoding.
+
+    Train: GT trajectory noised at a full-range random t in [0, 1000);
+    the UNet predicts the clean sample (plain L1 loss via the model's
+    single-mode fallback path). Test: 20 DDIM steps from pure Gaussian
+    noise, unrolled into one static-shape XLA program.
+    """
+
+    config: TransfuserConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from diffusiondrive_tpu.models.conditional_unet1d import ConditionalUnet1D
+
+        cfg = self.config
+        self.scheduler = DDIMScheduler()
+        self.unet = ConditionalUnet1D(
+            input_dim=3,
+            global_cond_dim=2 * cfg.tf_d_model,
+            down_dims=tuple(cfg.unet_down_dims),
+            dtype=self.dtype,
+            name="unet",
+        )
+
+    def _cond(self, ego_query: jnp.ndarray, status_encoding: jnp.ndarray) -> jnp.ndarray:
+        """(B, 1, d) ego query + (B, 1, d) status token -> (B, 2d) global cond."""
+        return jnp.concatenate([ego_query[:, 0], status_encoding[:, 0]], axis=-1)
+
+    def __call__(self, ego_query, status_encoding, *,
+                 targets: Optional[Dict[str, jnp.ndarray]] = None, train: bool = False,
+                 noise: Optional[jnp.ndarray] = None):
+        if train:
+            return self.forward_train(ego_query, status_encoding, targets)
+        return self.forward_test(ego_query, status_encoding, noise=noise)
+
+    def forward_train(self, ego_query, status_encoding, targets):
+        cond = self._cond(ego_query, status_encoding)
+        normed = norm_odo(targets["trajectory"])
+        B = normed.shape[0]
+        timesteps = jax.random.randint(self.make_rng("diffusion"), (B,), 0,
+                                       self.scheduler.num_train_timesteps)
+        noise = jax.random.normal(self.make_rng("diffusion"), normed.shape, dtype=normed.dtype)
+        noisy = jnp.clip(self.scheduler.add_noise(normed, noise, timesteps), -1.0, 1.0)
+        pred = self.unet(noisy, timesteps, cond)
+        return {"trajectory": denorm_odo(jnp.clip(pred, -1.0, 1.0))}
+
+    def forward_test(self, ego_query, status_encoding, noise: Optional[jnp.ndarray] = None):
+        cfg = self.config
+        cond = self._cond(ego_query, status_encoding)
+        B = ego_query.shape[0]
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("diffusion"),
+                                      (B, cfg.num_poses, 3), dtype=jnp.float32)
+        img = noise
+        steps = cfg.unet_test_steps
+        for k in self.scheduler.rollout_timesteps(steps):
+            t = jnp.full((B,), k, dtype=jnp.int32)
+            pred = self.unet(jnp.clip(img, -1.0, 1.0), t, cond)
+            img = self.scheduler.step(pred, k, img, num_inference_steps=steps)
+        return {"trajectory": denorm_odo(jnp.clip(img, -1.0, 1.0))}

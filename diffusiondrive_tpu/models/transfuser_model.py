@@ -22,7 +22,7 @@ import numpy as np
 from diffusiondrive_tpu.common.enums import BoundingBox2DIndex
 from diffusiondrive_tpu.models.backbone import TransfuserBackbone
 from diffusiondrive_tpu.models.config import TransfuserConfig
-from diffusiondrive_tpu.models.diffusion_head import DiffusionTrajectoryHead
+from diffusiondrive_tpu.models.diffusion_head import DiffusionTrajectoryHead, UnetTrajectoryHead
 from diffusiondrive_tpu.models.layers import LinearReluLn, TransformerDecoder
 from diffusiondrive_tpu.ops.sampling import resize_bilinear
 
@@ -72,7 +72,7 @@ class DiffusionDriveModel(nn.Module):
     """V2 Transfuser with the truncated-diffusion trajectory head."""
 
     config: TransfuserConfig
-    trajectory_head_type: str = "diffusion"  # "diffusion" | "mlp"
+    trajectory_head_type: str = "diffusion"  # "diffusion" | "unet" | "mlp"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -137,6 +137,11 @@ class DiffusionDriveModel(nn.Module):
         if self.trajectory_head_type == "diffusion":
             trajectory = DiffusionTrajectoryHead(cfg, dtype=self.dtype, name="trajectory_head")(
                 ego_query, agents_query, cross_bev, status_encoding[:, None],
+                targets=targets, train=train, noise=diffusion_noise,
+            )
+        elif self.trajectory_head_type == "unet":
+            trajectory = UnetTrajectoryHead(cfg, dtype=self.dtype, name="trajectory_head")(
+                ego_query, status_encoding[:, None],
                 targets=targets, train=train, noise=diffusion_noise,
             )
         else:

@@ -109,6 +109,16 @@ class DDIMScheduler:
         pred_sample_direction = jnp.sqrt(1.0 - alpha_prod_t_prev) * pred_epsilon
         return jnp.sqrt(alpha_prod_t_prev) * pred_original_sample + pred_sample_direction
 
+    def rollout_timesteps(self, num_inference_steps: int) -> Tuple[int, ...]:
+        """Standard (non-truncated) DDIM schedule: diffusers ``set_timesteps``
+        with "leading" spacing — descending ``arange(n) * (T // n)``, e.g.
+        (950, 900, ..., 50, 0) for 20 steps. This is the vanilla
+        diffusion-policy rollout the truncated 2-step schedule is ablated
+        against (`README.md:36`: "10x reduction in denoising steps")."""
+        step_ratio = self.num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
+        return tuple(int(t) for t in ts)
+
     def truncated_rollout_timesteps(self, num_steps: int = 2, span: int = 20) -> Tuple[int, ...]:
         """The reference's truncated test-time schedule: descending timesteps
         ``(arange(num_steps) * span/num_steps).round()[::-1]``
