@@ -1,0 +1,3 @@
+#!/usr/bin/env bash
+# Convenience wrapper (reference analogue: download/download_mini.sh).
+exec "$(dirname "$0")/download_openscene.sh" mini "$@"

@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Merge per-shard submission pickles into one
+# (reference analogue: scripts/submission/run_merge_submission_pickles.sh).
+set -euo pipefail
+source "$(dirname "$0")/../common.sh"
+
+python -m diffusiondrive_tpu.script.run_merge_submission_pickles \
+    --output "$NAVSIM_EXP_ROOT/submission/merged_submission.pkl" \
+    "$@"
