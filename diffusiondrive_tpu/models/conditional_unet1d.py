@@ -29,7 +29,8 @@ class Conv1dBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.features, (self.kernel_size,), padding=self.kernel_size // 2,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, dtype=self.dtype, name="norm")(x)
+        # torch GroupNorm eps (flax defaults to 1e-6)
+        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return mish(x)
 
 
