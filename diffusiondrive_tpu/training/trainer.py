@@ -61,6 +61,7 @@ class Trainer:
         self._step_fn = shard_train_step(
             make_train_step(self.model, self.model_config, tx, ema_decay=self.opt_cfg.ema_decay),
             self.mesh,
+            ema=self.opt_cfg.ema_decay is not None,
         )
         self._val_fn = shard_val_step(make_val_step(self.model, self.model_config), self.mesh)
 

@@ -10,7 +10,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# This host exposes few cores; the 8 virtual devices' collective threads can
+# starve under concurrent load and blow XLA:CPU's default 40s-abort
+# rendezvous timeouts (rendezvous.cc kills the whole process). Raise them —
+# this is the root cause of the historical "intermittent abort in full-suite
+# runs" (previously attributed to buffer donation).
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 # NOTE: the persistent compilation cache is deliberately DISABLED for tests.
 # On this image XLA:CPU compilation is routed to a remote machine with
 # different CPU features (+prefer-no-scatter/avx512 etc.); loading those AOT
