@@ -23,40 +23,71 @@ import jax.numpy as jnp
 BASELINE_FPS = 45.0  # reference: 45 FPS on RTX 4090
 
 
+def _force_fetch(out) -> None:
+    """True execution barrier: pull one element of every output leaf to host.
+
+    `jax.block_until_ready` is NOT sufficient through the tunneled TPU of
+    this dev image (see `measure`); reading data back is.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def main() -> None:
     from __graft_entry__ import entry
 
     forward, (variables, camera, lidar, status) = entry()
-    fn = jax.jit(forward)
+    fn = jax.jit(forward)  # compiled for cost analysis only (MFU)
 
-    # Warm-up / compile
-    out = fn(variables, camera, lidar, status)
-    jax.block_until_ready(out)
+    def measure(step, carry, iters=50, trials=5, frames=1):
+        """Best-of-trials FPS (min latency; robust to host-load noise).
 
-    def measure(f, *args, iters=50, trials=5, frames=1):
-        """Best-of-trials FPS (min latency; robust to host-load noise)."""
+        `step(carry) -> carry` must thread a DATA DEPENDENCY through every
+        iteration, and each trial ends with a device->host fetch of the
+        carry. Neither is optional on this image's tunneled TPU:
+        `block_until_ready` can signal before the device work completes, and
+        un-fetched independent executions can be elided outright (chained
+        8192^3 matmuls "measured" 49 PFLOP/s on a 197 TFLOP/s chip without
+        the fetch). A dependency chain ending in a data read is the only
+        timing barrier that provably covers all `iters` executions.
+        """
         best = 0.0
         for _ in range(trials):
             start = time.perf_counter()
-            out = None
+            c = carry
             for _ in range(iters):
-                out = f(*args)
-            jax.block_until_ready(out)
+                c = step(c)
+            _force_fetch(c)
             best = max(best, iters * frames / (time.perf_counter() - start))
         return best
 
+    # One jitted program per iteration that feeds a (numerically negligible)
+    # token of iteration N's output into iteration N+1's status input, so the
+    # whole timing loop is a single dependency chain with ONE dispatch per
+    # iteration (fair: same model work, no extra launches).
+    @jax.jit
+    def _chained(variables, camera_i, lidar_i, status_c):
+        out = forward(variables, camera_i, lidar_i, status_c)
+        tok = out["trajectory"].ravel()[:1].astype(status_c.dtype) * 1e-30
+        return status_c + tok  # (B, 8) + (1,) broadcast
+
+    def chained_step(camera_i, lidar_i):
+        return lambda status_c: _chained(variables, camera_i, lidar_i, status_c)
+
     # Single-frame latency benchmark (batch=1, matching the reference's
     # real-time planner measurement).
-    fps = measure(fn, variables, camera, lidar, status)
+    _force_fetch(_chained(variables, camera, lidar, status))  # warm-up / compile
+    fps = measure(chained_step(camera, lidar), status)
 
     # Throughput at batch 16 (the deployment-relevant number) as extra info.
     B = 16
     camera_b = jnp.broadcast_to(camera, (B,) + camera.shape[1:])
     lidar_b = jnp.broadcast_to(lidar, (B,) + lidar.shape[1:])
     status_b = jnp.broadcast_to(status, (B,) + status.shape[1:])
-    out = fn(variables, camera_b, lidar_b, status_b)
-    jax.block_until_ready(out)
-    batch_fps = measure(fn, variables, camera_b, lidar_b, status_b, iters=10, trials=5, frames=B)
+    _force_fetch(_chained(variables, camera_b, lidar_b, status_b))
+    batch_fps = measure(chained_step(camera_b, lidar_b), status_b, iters=10, trials=5, frames=B)
 
     # MFU: XLA-analyzed forward FLOPs / measured time / chip peak
     peak = _peak_bf16_flops(jax.devices()[0])
@@ -65,8 +96,12 @@ def main() -> None:
     mfu_b1 = flops_b1 * fps / peak if flops_b1 else None
     mfu_b16 = flops_b16 * (batch_fps / B) / peak if flops_b16 else None
 
-    # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene)
-    scoring_sps = _bench_scoring()
+    # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene);
+    # 1024-scene launches amortize the per-launch tunnel round-trip
+    try:
+        scoring_sps = _bench_scoring()
+    except Exception:
+        scoring_sps = _bench_scoring(num_scenes=256)
 
     # Host-in-the-loop evaluation throughput: cache load + agent + batched
     # simulate/score + row assembly (the `run_pdm_score.py` hot loop)
@@ -169,7 +204,7 @@ def _bench_e2e_eval(num_tokens: int = 512, batch_size: int = 128) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _bench_scoring(num_scenes: int = 256) -> float:
+def _bench_scoring(num_scenes: int = 1024) -> float:
     """Scenes/s through the vmapped simulate+score program (eval hot loop)."""
     import numpy as np
 
@@ -198,11 +233,17 @@ def _bench_scoring(num_scenes: int = 256) -> float:
     simulator = PDMSimulator(TrajectorySampling(num_poses=40, interval_length=0.1))
     run = _score_scene(simulator, PDMScorerConfig())  # internally two jitted programs
     out = run(*args)
-    jax.block_until_ready(out)
+    _force_fetch(out)
+    # dependency-chained timing loop + final data fetch (see `measure`): the
+    # tunneled TPU can elide or async-ack un-fetched independent executions
+    proposals_c = args[0]
     start = time.perf_counter()
     for _ in range(5):
-        out = run(*args)
-    jax.block_until_ready(out)
+        out = run(proposals_c, *args[1:])
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        tok = leaf.ravel()[:1].astype(proposals_c.dtype) * 1e-30
+        proposals_c = proposals_c + tok
+    _force_fetch(proposals_c)
     return 5 * num_scenes / (time.perf_counter() - start)
 
 
