@@ -96,12 +96,11 @@ def main() -> None:
     mfu_b1 = flops_b1 * fps / peak if flops_b1 else None
     mfu_b16 = flops_b16 * (batch_fps / B) / peak if flops_b16 else None
 
-    # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene);
-    # 1024-scene launches amortize the per-launch tunnel round-trip
-    try:
-        scoring_sps = _bench_scoring()
-    except Exception:
-        scoring_sps = _bench_scoring(num_scenes=256)
+    # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene).
+    # 256 scenes/launch: the TTC edge-pair intermediates cap a single launch
+    # well below 1024 scenes on 16 GB (XLA materializes all object chunks of
+    # the lax.map at once); sustained throughput comes from chaining launches.
+    scoring_sps = _bench_scoring()
 
     # Host-in-the-loop evaluation throughput: cache load + agent + batched
     # simulate/score + row assembly (the `run_pdm_score.py` hot loop)
@@ -204,7 +203,7 @@ def _bench_e2e_eval(num_tokens: int = 512, batch_size: int = 128) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _bench_scoring(num_scenes: int = 1024) -> float:
+def _bench_scoring(num_scenes: int = 256, iters: int = 20) -> float:
     """Scenes/s through the vmapped simulate+score program (eval hot loop)."""
     import numpy as np
 
@@ -236,15 +235,22 @@ def _bench_scoring(num_scenes: int = 1024) -> float:
     _force_fetch(out)
     # dependency-chained timing loop + final data fetch (see `measure`): the
     # tunneled TPU can elide or async-ack un-fetched independent executions
+    # Warm chain before timing: the tunnel serves the first ~1-2 s of launches
+    # in a fresh session ~2x slower (measured: 152 -> 72 ms/launch once warm)
     proposals_c = args[0]
+    for _ in range(10):
+        out = run(proposals_c, *args[1:])
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        proposals_c = proposals_c + leaf.ravel()[:1].astype(proposals_c.dtype) * 1e-30
+    _force_fetch(proposals_c)
     start = time.perf_counter()
-    for _ in range(5):
+    for _ in range(iters):
         out = run(proposals_c, *args[1:])
         leaf = jax.tree_util.tree_leaves(out)[0]
         tok = leaf.ravel()[:1].astype(proposals_c.dtype) * 1e-30
         proposals_c = proposals_c + tok
     _force_fetch(proposals_c)
-    return 5 * num_scenes / (time.perf_counter() - start)
+    return iters * num_scenes / (time.perf_counter() - start)
 
 
 if __name__ == "__main__":
