@@ -212,7 +212,7 @@ def _bench_scoring(num_scenes: int = 256, iters: int = 20) -> float:
     from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig
     from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
 
-    S, T, O, V, P = num_scenes, 41, 96, 16, 256
+    S, T, O, P = num_scenes, 41, 96, 256
     rng = np.random.default_rng(0)
     proposals = np.zeros((S, 2, T, 11), np.float32)
     proposals[..., 0] = np.arange(T) * 1.0
@@ -220,8 +220,8 @@ def _bench_scoring(num_scenes: int = 256, iters: int = 20) -> float:
     args = (
         jnp.asarray(proposals),
         jnp.asarray(proposals[:, 0, 0]),                                   # initial states
-        jnp.asarray(rng.normal(100, 5, (S, 26, O, V, 2)).astype(np.float32)),
-        jnp.asarray(rng.normal(100, 5, (S, 26, O, 2)).astype(np.float32)),
+        jnp.asarray(rng.normal(100, 5, (S, 26, O, 3)).astype(np.float32)),  # track poses
+        jnp.asarray(rng.uniform(1, 5, (S, O, 2)).astype(np.float32)),       # track extents
         jnp.ones((S, O), bool), jnp.ones((S, O), bool),
         jnp.zeros((S, O), bool), jnp.ones((S, O), bool), jnp.zeros((S, O), bool),
         jnp.asarray(np.tile([i // 2 for i in range(52)], (S, 1)).astype(np.int32)),

@@ -6,7 +6,7 @@ compressed .npz per token. Contents mirror the reference cache:
 
 - the PDM-Closed reference trajectory (global poses + times),
 - the current ego state array,
-- the constant-velocity occupancy forecast (padded track arrays),
+- the GT-interpolated occupancy forecast in compact (pose, extent) form,
 - the centerline polyline,
 - the drivable-area polygons with layers/on-route masks.
 
@@ -54,9 +54,9 @@ class MetricCache:
             pdm_poses=self.pdm_poses,
             pdm_times=self.pdm_times,
             initial_state=self.initial_state,
-            tracks_polygons=self.tracks.polygons,
+            tracks_poses=self.tracks.poses,
+            tracks_extents=self.tracks.extents,
             tracks_valid=self.tracks.valid,
-            tracks_centers=self.tracks.centers,
             tracks_headings=self.tracks.headings,
             tracks_is_agent=self.tracks.is_agent,
             tracks_is_red_light=self.tracks.is_red_light,
@@ -82,9 +82,9 @@ class MetricCache:
             pdm_times=data["pdm_times"],
             initial_state=data["initial_state"],
             tracks=TrackArrays(
-                polygons=data["tracks_polygons"],
+                poses=data["tracks_poses"],
+                extents=data["tracks_extents"],
                 valid=data["tracks_valid"],
-                centers=data["tracks_centers"],
                 headings=data["tracks_headings"],
                 is_agent=data["tracks_is_agent"],
                 is_red_light=data["tracks_is_red_light"],

@@ -45,14 +45,28 @@ class MapLayer:
 
 @dataclass
 class TrackArrays:
-    """Padded per-object occupancy forecast.
+    """Padded per-object occupancy forecast, in COMPACT (pose + extent) form.
 
-    Shapes: L = number of local occupancy maps, O = max objects, V = ring pad.
+    Shapes: L = number of local occupancy maps, O = max objects.
+
+    Tracks are oriented boxes: a per-local-map pose plus a per-object extent.
+    The device scorer expands (pose, extent) -> 4-corner rings IN-GRAPH
+    (`scorer.score_proposals`), so the metric cache and every host->device
+    transfer carry 3 floats per (L, O) cell instead of a padded V-vertex ring
+    — ~11x fewer bytes through the interconnect and 4x fewer edge pairs in
+    each polygon-intersection test than the earlier (L, O, 16, 2) layout.
+
+    Red-light lane connectors are not boxes; the planner builder supplies
+    their exact rings via `rings_override`, which only HOST consumers (the
+    IDM leading-agent corridor search, `planner.py`) ever read through the
+    `polygons` property. The device scorer masks red lights out of every
+    metric, matching the reference (`pdm_scorer.py:313,468`), so their
+    box approximation on device is inconsequential.
     """
 
-    polygons: np.ndarray          # (L, O, V, 2) float32 rings (pad: repeat last vertex)
+    poses: np.ndarray             # (L, O, 3) float32 box pose (x, y, heading) per local map
+    extents: np.ndarray           # (O, 2) float32 (length, width)
     valid: np.ndarray             # (O,) bool — object exists
-    centers: np.ndarray           # (L, O, 2) float32 polygon centers over time
     headings: np.ndarray          # (O,) float32 box heading (current frame)
     is_agent: np.ndarray          # (O,) bool — AGENT_TYPES (vehicle/ped/bicycle)
     is_red_light: np.ndarray      # (O,) bool
@@ -60,14 +74,45 @@ class TrackArrays:
     previously_collided: np.ndarray  # (O,) bool — collision at t=0, ignored
     global_to_local: np.ndarray   # (T_global,) int — time idx -> local map idx
     speeds: np.ndarray = None     # (O,) float32 current speed (leading-agent search)
+    rings_override: np.ndarray = None  # (L, O, V, 2) exact rings (host-only; red lights)
 
     def __post_init__(self):
         if self.speeds is None:
-            self.speeds = np.zeros(self.polygons.shape[1], np.float32)
+            self.speeds = np.zeros(self.poses.shape[1], np.float32)
+        self._polygons_cache = None
 
     @property
     def num_objects(self) -> int:
-        return self.polygons.shape[1]
+        return self.poses.shape[1]
+
+    @property
+    def centers(self) -> np.ndarray:
+        """(L, O, 2) box centers over time."""
+        return self.poses[..., :2]
+
+    @property
+    def polygons(self) -> np.ndarray:
+        """(L, O, V, 2) materialized rings for HOST consumers (cached).
+
+        V=4 box corners expanded from (pose, extent); red-light slots come
+        verbatim from `rings_override` (padded to its V if wider than 4).
+        """
+        if self._polygons_cache is None:
+            from diffusiondrive_tpu.evaluate.state_array import box_to_corners
+
+            corners = box_to_corners(
+                self.poses[..., 0], self.poses[..., 1], self.poses[..., 2],
+                self.extents[None, :, 0], self.extents[None, :, 1],
+            ).astype(np.float32)  # (L, O, 4, 2)
+            if self.rings_override is not None:
+                V = self.rings_override.shape[2]
+                out = np.repeat(corners[:, :, 3:4], V, axis=2)
+                out[:, :, :4] = corners
+                override = self.is_red_light
+                out[:, override] = self.rings_override[:, override]
+                corners = out
+            self._polygons_cache = corners
+        return self._polygons_cache
 
 
 @dataclass
@@ -118,33 +163,25 @@ def constant_velocity_forecast(
     trajectory_sampling: TrajectorySampling,
     observation_samples: int,
     sample_res: int = 2,
-    ring_pad: int = 8,
 ) -> tuple:
     """Constant-velocity occupancy forecast (`pdm_observation.py:166-189`).
 
-    Static objects stay frozen; dynamic agents translate by v * t. One local
-    map per `sample_res` samples, each representing time (local_idx *
-    sample_res * interval).
-    :return: (polygons (L, O, V, 2), centers (L, O, 2), global_to_local)
+    Static objects stay frozen; dynamic agents translate by v * t (heading
+    fixed). One local map per `sample_res` samples, each representing time
+    (local_idx * sample_res * interval).
+    :return: (poses (L, O, 3), global_to_local); pair with boxes[:, 3:5] as
+             the TrackArrays extents.
     """
-    from diffusiondrive_tpu.evaluate.state_array import box_to_corners
-
     interval = trajectory_sampling.interval_length
     num_local = observation_samples // sample_res + 1
     global_to_local = np.array(
         [idx // sample_res for idx in range(observation_samples + sample_res)], dtype=np.int32
     )
 
-    O = boxes.shape[0]
-    corners0 = box_to_corners(boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3], boxes[:, 4])  # (O, 4, 2)
-    polygons = np.zeros((num_local, O, ring_pad, 2), dtype=np.float32)
-    centers = np.zeros((num_local, O, 2), dtype=np.float32)
-
-    for local_idx in range(num_local):
-        t = local_idx * sample_res * interval
-        delta = np.where(is_dynamic[:, None], velocities * t, 0.0)  # (O, 2)
-        c = corners0 + delta[:, None, :]
-        polygons[local_idx, :, :4] = c
-        polygons[local_idx, :, 4:] = c[:, 3:4]  # pad with last vertex
-        centers[local_idx] = boxes[:, :2] + delta
-    return polygons, centers, global_to_local
+    times = np.arange(num_local, dtype=np.float64) * sample_res * interval      # (L,)
+    vel_eff = np.where(is_dynamic[:, None] & valid[:, None], velocities, 0.0)   # (O, 2)
+    poses = np.zeros((num_local, boxes.shape[0], 3), np.float32)
+    poses[..., :2] = boxes[None, :, :2] + vel_eff[None] * times[:, None, None]
+    poses[..., 2] = boxes[None, :, 2]
+    poses[:, ~valid, :2] = 1e6  # far sentinel for padded slots
+    return poses, global_to_local

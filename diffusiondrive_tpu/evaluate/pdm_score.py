@@ -154,7 +154,7 @@ def batched_pdm_score(
         ctx.append(
             (
                 cache.initial_state.astype(np.float32),
-                t.polygons, t.centers, t.valid, t.is_agent, t.is_red_light, t.is_stopped,
+                t.poses, t.extents, t.valid, t.is_agent, t.is_red_light, t.is_stopped,
                 t.previously_collided, t.global_to_local,
                 d.polygons, d.valid, d.layers, d.on_route,
                 cache.centerline.astype(np.float32),

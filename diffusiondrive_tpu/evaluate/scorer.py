@@ -41,7 +41,11 @@ from diffusiondrive_tpu.evaluate.geometry import (
     segment_intersects_polygon,
 )
 from diffusiondrive_tpu.evaluate.observation import MapLayer
-from diffusiondrive_tpu.evaluate.state_array import coords_to_exterior, state_array_to_coords_array
+from diffusiondrive_tpu.evaluate.state_array import (
+    box_to_corners,
+    coords_to_exterior,
+    state_array_to_coords_array,
+)
 from diffusiondrive_tpu.evaluate.vehicle import VehicleParameters, get_pacifica_parameters
 
 STOPPED_TRACK_SPEED = 5e-2   # [m/s] for collision typing
@@ -137,8 +141,8 @@ def _intersect_over_object_chunks(ego_rings: jnp.ndarray, polys: jnp.ndarray,
 
 def score_proposals(
     states: jnp.ndarray,            # (B, T, 11) simulated proposal states
-    track_polygons: jnp.ndarray,    # (L, O, V, 2) occupancy forecast rings
-    track_centers: jnp.ndarray,     # (L, O, 2)
+    track_poses: jnp.ndarray,       # (L, O, 3) occupancy forecast box poses
+    track_extents: jnp.ndarray,     # (O, 2) box (length, width)
     track_valid: jnp.ndarray,       # (O,)
     track_is_agent: jnp.ndarray,    # (O,)
     track_is_red_light: jnp.ndarray,   # (O,)
@@ -185,9 +189,20 @@ def score_proposals(
     # ------------------------------------------------------------------ #
     # No-at-fault collision (`_calculate_no_at_fault_collision`)
     # ------------------------------------------------------------------ #
+    # Expand compact (pose, extent) tracks into 4-corner rings IN-GRAPH: the
+    # cache/H2D payload stays 3 floats per (L, O) cell, and the intersection
+    # tests below see V=4 rings (vs the 16-vertex padded layout this replaces)
+    def expand_corners(poses):
+        """poses (..., O, 3) + extents (O, 2) -> rings (..., O, 4, 2)."""
+        return box_to_corners(
+            poses[..., 0], poses[..., 1], poses[..., 2],
+            track_extents[..., 0], track_extents[..., 1], xp=jnp,
+        )
+
     g2l = global_to_local[:T]
-    polys_t = track_polygons[g2l]        # (T, O, V, 2)
-    centers_t = track_centers[g2l]       # (T, O, 2)
+    poses_t = track_poses[g2l]           # (T, O, 3)
+    polys_t = expand_corners(poses_t)    # (T, O, 4, 2)
+    centers_t = poses_t[..., :2]         # (T, O, 2)
 
     collides = _intersect_over_object_chunks(ego_rings, polys_t, config.object_chunk) & track_valid  # (B, T, O)
 
@@ -207,9 +222,11 @@ def score_proposals(
     ego_speed_first = jnp.take_along_axis(speeds, first_t, axis=1)                              # (B, O)
     multi_nd_first = jnp.take_along_axis(multi_or_nondrivable, first_t, axis=1)                 # (B, O)
 
-    # polygon of track o at its first collision time: polys_t[first_t[b,o], o]
-    track_poly_first = polys_t[first_t, jnp.arange(polys_t.shape[1])[None, :]]   # (B, O, V, 2)
-    track_center_first = centers_t[first_t, jnp.arange(centers_t.shape[1])[None, :]]  # (B, O, 2)
+    # polygon of track o at its first collision time: gather the compact pose
+    # then expand — gathering 3 floats instead of a (V, 2) ring
+    track_pose_first = poses_t[first_t, jnp.arange(poses_t.shape[1])[None, :]]   # (B, O, 3)
+    track_poly_first = expand_corners(track_pose_first)                          # (B, O, 4, 2)
+    track_center_first = track_pose_first[..., :2]                               # (B, O, 2)
 
     is_ego_stopped = ego_speed_first <= STOPPED_TRACK_SPEED
     behind = _is_behind(ego_pose_first, track_center_first)
@@ -278,8 +295,9 @@ def score_proposals(
     # observation at t + future_step (extended horizon)
     fut_idx = np.arange(T)[:, None] + future_steps[None, :]                  # (T, S)
     g2l_fut = global_to_local[fut_idx]                                       # (T, S)
-    polys_fut = track_polygons[g2l_fut]                                      # (T, S, O, V, 2)
-    centers_fut = track_centers[g2l_fut]                                     # (T, S, O, 2)
+    poses_fut = track_poses[g2l_fut]                                         # (T, S, O, 3)
+    polys_fut = expand_corners(poses_fut)                                    # (T, S, O, 4, 2)
+    centers_fut = poses_fut[..., :2]                                         # (T, S, O, 2)
 
     ttc_hits = _intersect_over_object_chunks(ttc_rings, polys_fut, config.object_chunk) & track_valid  # (B, T, S, O)
     moving = speeds >= config.stopped_speed_threshold                        # (B, T)

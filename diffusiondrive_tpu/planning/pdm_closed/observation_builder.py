@@ -113,45 +113,46 @@ def build_planner_observation(
 
     O = max_objects
     num_tracks = min(len(names), O - len(red_lights))
-    polygons = np.full((num_local, O, RING_PAD, 2), 1e6, np.float32)
-    centers = np.full((num_local, O, 2), 1e6, np.float32)
+    poses = np.full((num_local, O, 3), 1e6, np.float32)
+    poses[..., 2] = 0.0
+    extents = np.ones((O, 2), np.float32)
     valid = np.zeros(O, bool)
     headings = np.zeros(O, np.float32)
     is_agent = np.zeros(O, bool)
     is_red = np.zeros(O, bool)
     is_stopped = np.ones(O, bool)
+    rings_override = None
 
+    times = np.arange(num_local, dtype=np.float64) * sample_res * interval
     speeds = np.hypot(vel_g[:, 0], vel_g[:, 1])
     for o in range(num_tracks):
-        corners = box_to_corners(
-            boxes_g[o, BoundingBoxIndex.X], boxes_g[o, BoundingBoxIndex.Y],
-            boxes_g[o, BoundingBoxIndex.HEADING], boxes_g[o, BoundingBoxIndex.LENGTH],
-            boxes_g[o, BoundingBoxIndex.WIDTH],
-        )
         dynamic = names[o] in AGENT_NAMES
         valid[o] = True
         headings[o] = boxes_g[o, BoundingBoxIndex.HEADING]
         is_agent[o] = dynamic
         is_stopped[o] = (not dynamic) or speeds[o] <= STOPPED_SPEED
-        for li in range(num_local):
-            t = li * sample_res * interval
-            delta = vel_g[o] * t if dynamic else 0.0
-            c = corners + delta
-            polygons[li, o, :4] = c
-            polygons[li, o, 4:] = c[3]
-            centers[li, o] = boxes_g[o, :2] + delta
+        extents[o] = (boxes_g[o, BoundingBoxIndex.LENGTH], boxes_g[o, BoundingBoxIndex.WIDTH])
+        delta = vel_g[o][None] * times[:, None] if dynamic else 0.0  # (L, 2)
+        poses[:, o, :2] = boxes_g[o, :2] + delta
+        poses[:, o, 2] = boxes_g[o, BoundingBoxIndex.HEADING]
 
-    for r, ring in enumerate(red_lights):
-        o = num_tracks + r
-        if o >= O:
-            break
-        padded = pad_rings([ring], RING_PAD)[0]
-        valid[o] = True
-        is_red[o] = True
-        is_stopped[o] = True
-        for li in range(num_local):
-            polygons[li, o] = padded
-            centers[li, o] = ring.mean(axis=0)
+    if red_lights:
+        # red-light lane connectors are arbitrary polygons: approximate the
+        # (device-masked) box by the ring's bbox, keep exact rings host-side
+        rings_override = np.full((num_local, O, RING_PAD, 2), 1e6, np.float32)
+        for r, ring in enumerate(red_lights):
+            o = num_tracks + r
+            if o >= O:
+                break
+            padded = pad_rings([ring], RING_PAD)[0]
+            valid[o] = True
+            is_red[o] = True
+            is_stopped[o] = True
+            lo, hi = ring.min(axis=0), ring.max(axis=0)
+            extents[o] = np.maximum(hi - lo, 0.1)
+            poses[:, o, :2] = ring.mean(axis=0)
+            poses[:, o, 2] = 0.0
+            rings_override[:, o] = padded
 
     # pre-existing collisions at t=0 (`pdm_observation.py:193-204`)
     ego_state = ego_state_array_from_scene(scene)
@@ -160,21 +161,25 @@ def build_planner_observation(
     for o in range(O):
         if not valid[o]:
             continue
-        ring = polygons[0, o]
-        if polygon_distance(ego_ring, ring[: 4 if not is_red[o] else RING_PAD]) == 0.0:
-            if is_red[o]:
+        if is_red[o]:
+            ring = rings_override[0, o]
+            if polygon_distance(ego_ring, ring) == 0.0 and point_in_polygon(ego_ring, ring).all():
                 # red lights only ignored when ego is fully within
-                if not point_in_polygon(ego_ring, ring).all():
-                    continue
+                previously_collided[o] = True
+            continue
+        ring = box_to_corners(
+            poses[0, o, 0], poses[0, o, 1], poses[0, o, 2], extents[o, 0], extents[o, 1]
+        )
+        if polygon_distance(ego_ring, ring) == 0.0:
             previously_collided[o] = True
 
     speeds_arr = np.zeros(O, np.float32)
     speeds_arr[:num_tracks] = speeds[:num_tracks]
     return TrackArrays(
-        polygons=polygons, valid=valid, centers=centers, headings=headings,
+        poses=poses, extents=extents, valid=valid, headings=headings,
         is_agent=is_agent, is_red_light=is_red, is_stopped=is_stopped,
         previously_collided=previously_collided, global_to_local=global_to_local,
-        speeds=speeds_arr,
+        speeds=speeds_arr, rings_override=rings_override,
     )
 
 
@@ -228,8 +233,9 @@ def build_gt_observation(
         st = tracks[token][0]
         return float(np.hypot(st[1] - ego0[0], st[2] - ego0[1]))
     tokens = sorted(tracks.keys(), key=_min_dist)[:O]
-    polygons = np.full((num_local, O, RING_PAD, 2), 1e6, np.float32)
-    centers = np.full((num_local, O, 2), 1e6, np.float32)
+    poses = np.full((num_local, O, 3), 1e6, np.float32)
+    poses[..., 2] = 0.0
+    extents = np.ones((O, 2), np.float32)
     valid = np.zeros(O, bool)
     headings = np.zeros(O, np.float32)
     is_agent = np.zeros(O, bool)
@@ -255,14 +261,13 @@ def build_gt_observation(
         is_agent[o] = dynamic
         is_stopped[o] = (not dynamic) or speed <= STOPPED_SPEED
         speeds_arr[o] = speed if dynamic else 0.0
-        corners = box_to_corners(x, y, h, np.full_like(x, length), np.full_like(x, width))  # (T, 4, 2)
-        polygons[:, o, :4] = corners
-        polygons[:, o, 4:] = corners[:, 3:4]
-        centers[:, o, 0] = x
-        centers[:, o, 1] = y
+        poses[:, o, 0] = x
+        poses[:, o, 1] = y
+        poses[:, o, 2] = h
+        extents[o] = (length, width)
 
     return TrackArrays(
-        polygons=polygons, valid=valid, centers=centers, headings=headings,
+        poses=poses, extents=extents, valid=valid, headings=headings,
         is_agent=is_agent, is_red_light=np.zeros(O, bool), is_stopped=is_stopped,
         previously_collided=np.zeros(O, bool), global_to_local=global_to_local,
         speeds=speeds_arr,

@@ -306,7 +306,7 @@ class PDMClosedPlanner:
         obs, dam = self.observation, self.drivable_area_map
         scores = score_proposals(
             simulated,
-            jnp.asarray(obs.polygons), jnp.asarray(obs.centers), jnp.asarray(obs.valid),
+            jnp.asarray(obs.poses), jnp.asarray(obs.extents), jnp.asarray(obs.valid),
             jnp.asarray(obs.is_agent), jnp.asarray(obs.is_red_light), jnp.asarray(obs.is_stopped),
             jnp.asarray(obs.previously_collided), jnp.asarray(obs.global_to_local),
             jnp.asarray(dam.polygons), jnp.asarray(dam.valid), jnp.asarray(dam.layers),

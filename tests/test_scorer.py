@@ -28,11 +28,12 @@ def straight_states(v, n=T, dt=0.1, y=0.0):
     return states
 
 
-def make_tracks(boxes=(), red_lights=(), stopped=(), velocities=None, num_objects=4, ring_pad=8):
+def make_tracks(boxes=(), red_lights=(), stopped=(), velocities=None, num_objects=4):
     """boxes: list of (x, y, heading, l, w). All static unless velocities given."""
     O = num_objects
-    polygons = np.zeros((NUM_LOCAL, O, ring_pad, 2), np.float32)
-    centers = np.zeros((NUM_LOCAL, O, 2), np.float32)
+    poses = np.full((NUM_LOCAL, O, 3), 1e6, np.float32)
+    poses[..., 2] = 0.0
+    extents = np.ones((O, 2), np.float32)
     valid = np.zeros(O, bool)
     headings = np.zeros(O, np.float32)
     is_stopped = np.ones(O, bool)
@@ -46,22 +47,15 @@ def make_tracks(boxes=(), red_lights=(), stopped=(), velocities=None, num_object
         headings[o] = h
         is_stopped[o] = np.hypot(vx, vy) <= 5e-2
         is_red[o] = o in red_lights
+        extents[o] = (l, w)
         for li in range(NUM_LOCAL):
             t = li * 2 * 0.1
-            c = box_to_corners(np.float32(x + vx * t), np.float32(y + vy * t),
-                               np.float32(h), np.float32(l), np.float32(w))
-            polygons[li, o, :4] = c
-            polygons[li, o, 4:] = c[3]
-            centers[li, o] = (x + vx * t, y + vy * t)
-
-    # pad invalid slots far away so zero-rings never touch anything
-    polygons[:, ~valid] = 1e6
-    centers[:, ~valid] = 1e6
+            poses[li, o] = (x + vx * t, y + vy * t, h)
 
     return TrackArrays(
-        polygons=polygons,
+        poses=poses,
+        extents=extents,
         valid=valid,
-        centers=centers,
         headings=headings,
         is_agent=valid.copy(),
         is_red_light=is_red,
@@ -101,7 +95,7 @@ def run_scorer(states, tracks, drivable, cl=None):
     t, d = tracks, drivable
     return score_proposals(
         jnp.asarray(states),
-        jnp.asarray(t.polygons), jnp.asarray(t.centers), jnp.asarray(t.valid),
+        jnp.asarray(t.poses), jnp.asarray(t.extents), jnp.asarray(t.valid),
         jnp.asarray(t.is_agent), jnp.asarray(t.is_red_light), jnp.asarray(t.is_stopped),
         jnp.asarray(t.previously_collided), jnp.asarray(t.global_to_local),
         jnp.asarray(d.polygons), jnp.asarray(d.valid), jnp.asarray(d.layers), jnp.asarray(d.on_route),
