@@ -254,4 +254,13 @@ def _bench_scoring(num_scenes: int = 256, iters: int = 20) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # the tunneled TPU occasionally throws transient FAILED_PRECONDITION /
+        # INTERNAL errors under sustained load; one retry after a cool-down
+        import traceback
+
+        traceback.print_exc()
+        time.sleep(30)
+        main()

@@ -12,7 +12,6 @@ from diffusiondrive_tpu.evaluate.observation import DrivableAreaArrays, MapLayer
 from diffusiondrive_tpu.evaluate.pdm_score import batched_pdm_score, pdm_score
 from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig, score_proposals
 from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
-from diffusiondrive_tpu.evaluate.state_array import box_to_corners
 
 S = StateIndex
 SAMPLING = TrajectorySampling(num_poses=40, interval_length=0.1)
