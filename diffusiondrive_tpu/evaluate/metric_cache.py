@@ -75,6 +75,12 @@ class MetricCache:
     @classmethod
     def load(cls, path: Path) -> "MetricCache":
         data = np.load(path, allow_pickle=True)
+        if "tracks_poses" not in data and "tracks_polygons" in data:
+            raise ValueError(
+                f"{path} was written by an older cache format (dense track "
+                "rings). Re-run metric caching (or pass --force) to "
+                "regenerate caches in the compact (pose, extent) format."
+            )
         return cls(
             token=str(data["token"]),
             log_name=str(data["log_name"]),
