@@ -35,6 +35,18 @@ from diffusiondrive_tpu.evaluate.vehicle import VehicleParameters, get_pacifica_
 INITIAL_CURVATURE_PENALTY = 1e-10
 
 
+def _solve_spd(AtA: jnp.ndarray, Aty: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve via Cholesky: (B, M, M), (B, M) -> (B, M).
+
+    The normal-equation matrices here are PD by construction (A^T A plus a
+    positive-diagonal regularizer), and on TPU the pivoting LU behind
+    `jnp.linalg.solve` is ~1.5x slower than Cholesky + two triangular solves
+    at this (2048, 40, 40) batch shape (measured)."""
+    L = jnp.linalg.cholesky(AtA)
+    z = jax.scipy.linalg.solve_triangular(L, Aty[..., None], lower=True)
+    return jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), z, lower=False)[..., 0]
+
+
 # --------------------------------------------------------------------------- #
 # Velocity / curvature profile estimation (batch_lqr_utils.py)
 # --------------------------------------------------------------------------- #
@@ -78,7 +90,7 @@ def fit_velocity_and_acceleration(
 
     AtA = jnp.einsum("bij,bik->bjk", A, A) + jerk_penalty * (R.T @ R)[None]
     Aty = jnp.einsum("bij,bi->bj", A, y)
-    x = jnp.linalg.solve(AtA, Aty[..., None])[..., 0]
+    x = _solve_spd(AtA, Aty)
     return x[:, 0], x[:, 1:]
 
 
@@ -103,7 +115,7 @@ def fit_curvature_and_curvature_rate(
 
     AtA = jnp.einsum("bij,bik->bjk", A, A) + jnp.asarray(Q, dtype=y.dtype)[None]
     Aty = jnp.einsum("bij,bi->bj", A, y)
-    x = jnp.linalg.solve(AtA, Aty[..., None])[..., 0]
+    x = _solve_spd(AtA, Aty)
     return x[:, 0], x[:, 1:]
 
 
@@ -178,30 +190,40 @@ def lqr_track_step(
     steps = jnp.arange(H, dtype=v0.dtype)
     velocity_profile = v0[:, None] + accel_cmd[:, None] * steps[None, :] * dt  # (B, H)
 
-    # Lateral LTV composition over H steps (fori_loop keeps the traced graph
-    # small — this runs inside a 40-step scan vmapped over scenes)
+    # Lateral LTV composition over the H-step horizon, in CLOSED FORM.
+    #
+    # Each per-step matrix is unit upper-triangular with two entries,
+    #   M_k = I + a_k E01 + b_k E12,   a_k = v_k dt,  b_k = v_k dt / L,
+    # so the ordered product P = M_{H-1} ... M_0 collapses to
+    #   P = I + (sum a) E01 + (sum b) E12 + (sum_{i>j} a_i b_j) E02,
+    # and the accumulated input/affine terms reduce to weighted sums:
+    #   B_total = dt * [sum_j j b_j sufa_j, sum_j j b_j, H],
+    #   g_total = [sum_k gamma_k sufa_k, sum_k gamma_k, 0],
+    # with sufa_j = sum_{i>j} a_i and gamma_k = -v_k c_k dt. This replaces the
+    # reference's sequential 10-matrix einsum chain (`batch_lqr.py`, mirrored
+    # here as a fori_loop until round 2) with a handful of (B, H) reductions —
+    # no loop, no (B, 3, 3) matmul chain, same math to fp reordering.
     B_ = v0.shape[0]
-    I3 = jnp.eye(3, dtype=v0.dtype)
-    in_matrix = jnp.asarray([[0.0], [0.0], [dt]], dtype=v0.dtype)
+    a = velocity_profile * dt                               # (B, H)
+    b = velocity_profile * (dt / wheel_base)                # (B, H)
+    gamma = -velocity_profile * curvature_profiles * dt     # (B, H)
+    sum_a = a.sum(-1)
+    sum_b = b.sum(-1)
+    sufa = sum_a[:, None] - jnp.cumsum(a, axis=-1)          # (B, H): sum_{i>j} a_i
+    cross = (sufa * b).sum(-1)                              # sum_{i>j} a_i b_j
+    ks = jnp.arange(H, dtype=v0.dtype)
 
-    def compose(k, carry):
-        A, Bm, g = carry
-        vk = velocity_profile[:, k]
-        Ak = jnp.broadcast_to(I3, (B_, 3, 3))
-        Ak = Ak.at[:, 0, 1].set(vk * dt)
-        Ak = Ak.at[:, 1, 2].set(vk * dt / wheel_base)
-        gk = jnp.zeros((B_, 3), v0.dtype).at[:, 1].set(-vk * curvature_profiles[:, k] * dt)
-        return (
-            jnp.einsum("bij,bjk->bik", Ak, A),
-            jnp.einsum("bij,bjk->bik", Ak, Bm) + in_matrix[None],
-            jnp.einsum("bij,bj->bi", Ak, g) + gk,
-        )
+    A = jnp.zeros((B_, 3, 3), v0.dtype)
+    A = A.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0).at[:, 2, 2].set(1.0)
+    A = A.at[:, 0, 1].set(sum_a).at[:, 1, 2].set(sum_b).at[:, 0, 2].set(cross)
 
-    A, Bm, g = jax.lax.fori_loop(
-        0, H,
-        compose,
-        (jnp.broadcast_to(I3, (B_, 3, 3)), jnp.zeros((B_, 3, 1), v0.dtype), jnp.zeros((B_, 3), v0.dtype)),
-    )
+    Bm = jnp.stack(
+        [dt * (ks * b * sufa).sum(-1), dt * (ks * b).sum(-1), jnp.full((B_,), H * dt, v0.dtype)],
+        axis=-1,
+    )[..., None]                                            # (B, 3, 1)
+    g = jnp.stack(
+        [(gamma * sufa).sum(-1), gamma.sum(-1), jnp.zeros((B_,), v0.dtype)], axis=-1
+    )                                                       # (B, 3)
 
     Q = jnp.diag(jnp.asarray(params.q_lateral, dtype=v0.dtype))
     err = jnp.einsum("bij,bj->bi", A, lat_state) + g
@@ -251,28 +273,31 @@ def bicycle_propagate(
     vx = states[:, S.VELOCITY_X]
     heading = states[:, S.HEADING]
 
-    new = jnp.zeros_like(states)
-    new = new.at[:, S.X].set(states[:, S.X] + vx * jnp.cos(heading) * dt)
-    new = new.at[:, S.Y].set(states[:, S.Y] + vx * jnp.sin(heading) * dt)
-    new = new.at[:, S.HEADING].set(
-        normalize_angle(heading + vx * jnp.tan(steering_angle) / vehicle.wheel_base * dt, xp=jnp)
-    )
     new_vx = vx + updated_accel * dt
-    new = new.at[:, S.VELOCITY_X].set(new_vx)
     # lateral velocity is zero in the bicycle model
     new_steering = jnp.clip(
         steering_angle + updated_steering_rate * dt, -params.max_steering_angle, params.max_steering_angle
     )
-    new = new.at[:, S.STEERING_ANGLE].set(new_steering)
     new_angular_velocity = new_vx * jnp.tan(new_steering) / vehicle.wheel_base
-    new = new.at[:, S.ANGULAR_VELOCITY].set(new_angular_velocity)
-    new = new.at[:, S.ACCELERATION_X].set(updated_accel)
-    new = new.at[:, S.ACCELERATION_Y].set(0.0)
-    new = new.at[:, S.ANGULAR_ACCELERATION].set(
-        (new_angular_velocity - states[:, S.ANGULAR_VELOCITY]) / dt
+    zeros = jnp.zeros_like(vx)
+    # one stacked write in StateIndex order (X..ANGULAR_ACCELERATION) instead
+    # of a chain of scatter updates — this runs inside the 40-step scan
+    return jnp.stack(
+        [
+            states[:, S.X] + vx * jnp.cos(heading) * dt,
+            states[:, S.Y] + vx * jnp.sin(heading) * dt,
+            normalize_angle(heading + vx * jnp.tan(steering_angle) / vehicle.wheel_base * dt, xp=jnp),
+            new_vx,
+            zeros,                                   # VELOCITY_Y
+            updated_accel,                           # ACCELERATION_X
+            zeros,                                   # ACCELERATION_Y
+            new_steering,
+            updated_steering_rate,
+            new_angular_velocity,
+            (new_angular_velocity - states[:, S.ANGULAR_VELOCITY]) / dt,
+        ],
+        axis=-1,
     )
-    new = new.at[:, S.STEERING_RATE].set(updated_steering_rate)
-    return new
 
 
 # --------------------------------------------------------------------------- #
