@@ -39,7 +39,6 @@ def main() -> None:
     from __graft_entry__ import entry
 
     forward, (variables, camera, lidar, status) = entry()
-    fn = jax.jit(forward)  # compiled for cost analysis only (MFU)
 
     def measure(step, carry, iters=50, trials=5, frames=1):
         """Best-of-trials FPS (min latency; robust to host-load noise).
@@ -89,10 +88,12 @@ def main() -> None:
     _force_fetch(_chained(variables, camera_b, lidar_b, status_b))
     batch_fps = measure(chained_step(camera_b, lidar_b), status_b, iters=10, trials=5, frames=B)
 
-    # MFU: XLA-analyzed forward FLOPs / measured time / chip peak
+    # MFU: XLA-analyzed forward FLOPs / measured time / chip peak. Cost
+    # analysis reuses the already-compiled chained programs (the 1-element
+    # chaining token adds negligible FLOPs; lower().compile() is a cache hit)
     peak = _peak_bf16_flops(jax.devices()[0])
-    flops_b1 = _xla_flops(fn, variables, camera, lidar, status)
-    flops_b16 = _xla_flops(fn, variables, camera_b, lidar_b, status_b)
+    flops_b1 = _xla_flops(_chained, variables, camera, lidar, status)
+    flops_b16 = _xla_flops(_chained, variables, camera_b, lidar_b, status_b)
     mfu_b1 = flops_b1 * fps / peak if flops_b1 else None
     mfu_b16 = flops_b16 * (batch_fps / B) / peak if flops_b16 else None
 

@@ -91,12 +91,12 @@ def _jitted_simulate(simulator: PDMSimulator):
 
 @functools.lru_cache(maxsize=8)
 def _jitted_score(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
-    def score_one(simulated, tracks_polygons, tracks_centers, tracks_valid, tracks_is_agent,
+    def score_one(simulated, tracks_poses, tracks_extents, tracks_valid, tracks_is_agent,
                   tracks_is_red_light, tracks_is_stopped, tracks_previously_collided,
                   global_to_local, map_polygons, map_valid, map_layers, map_on_route, centerline):
         return score_proposals(
             simulated,
-            tracks_polygons, tracks_centers, tracks_valid, tracks_is_agent,
+            tracks_poses, tracks_extents, tracks_valid, tracks_is_agent,
             tracks_is_red_light, tracks_is_stopped, tracks_previously_collided,
             global_to_local, map_polygons, map_valid, map_layers, map_on_route,
             centerline, simulator.proposal_sampling, scorer_config,

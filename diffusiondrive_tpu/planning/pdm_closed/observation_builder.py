@@ -15,7 +15,13 @@ import numpy as np
 from diffusiondrive_tpu.common.dataclasses import Scene, TrajectorySampling
 from diffusiondrive_tpu.common.enums import BoundingBoxIndex, StateIndex
 from diffusiondrive_tpu.common.geometry import normalize_angle
-from diffusiondrive_tpu.evaluate.observation import DrivableAreaArrays, MapLayer, TrackArrays, pad_rings
+from diffusiondrive_tpu.evaluate.observation import (
+    DrivableAreaArrays,
+    MapLayer,
+    TrackArrays,
+    constant_velocity_forecast,
+    pad_rings,
+)
 from diffusiondrive_tpu.evaluate.state_array import box_to_corners, state_array_to_coords_array
 from diffusiondrive_tpu.evaluate.vehicle import get_pacifica_parameters
 from diffusiondrive_tpu.planning.map_api import LocalMapAPI
@@ -123,18 +129,26 @@ def build_planner_observation(
     is_stopped = np.ones(O, bool)
     rings_override = None
 
-    times = np.arange(num_local, dtype=np.float64) * sample_res * interval
     speeds = np.hypot(vel_g[:, 0], vel_g[:, 1])
-    for o in range(num_tracks):
-        dynamic = names[o] in AGENT_NAMES
-        valid[o] = True
-        headings[o] = boxes_g[o, BoundingBoxIndex.HEADING]
-        is_agent[o] = dynamic
-        is_stopped[o] = (not dynamic) or speeds[o] <= STOPPED_SPEED
-        extents[o] = (boxes_g[o, BoundingBoxIndex.LENGTH], boxes_g[o, BoundingBoxIndex.WIDTH])
-        delta = vel_g[o][None] * times[:, None] if dynamic else 0.0  # (L, 2)
-        poses[:, o, :2] = boxes_g[o, :2] + delta
-        poses[:, o, 2] = boxes_g[o, BoundingBoxIndex.HEADING]
+    if num_tracks:
+        dynamic = np.array([names[o] in AGENT_NAMES for o in range(num_tracks)], bool)
+        valid[:num_tracks] = True
+        headings[:num_tracks] = boxes_g[:num_tracks, BoundingBoxIndex.HEADING]
+        is_agent[:num_tracks] = dynamic
+        is_stopped[:num_tracks] = ~dynamic | (speeds[:num_tracks] <= STOPPED_SPEED)
+        extents[:num_tracks, 0] = boxes_g[:num_tracks, BoundingBoxIndex.LENGTH]
+        extents[:num_tracks, 1] = boxes_g[:num_tracks, BoundingBoxIndex.WIDTH]
+        boxes5 = np.full((O, 5), 1e6, np.float64)
+        boxes5[:num_tracks] = boxes_g[:num_tracks][:, [BoundingBoxIndex.X, BoundingBoxIndex.Y,
+                                                       BoundingBoxIndex.HEADING,
+                                                       BoundingBoxIndex.LENGTH,
+                                                       BoundingBoxIndex.WIDTH]]
+        boxes5[num_tracks:, 2:] = 0.0
+        vels = np.zeros((O, 2)); vels[:num_tracks] = vel_g[:num_tracks]
+        is_dyn = np.zeros(O, bool); is_dyn[:num_tracks] = dynamic
+        poses, _ = constant_velocity_forecast(
+            boxes5, vels, is_dyn, valid, proposal_sampling, samples, sample_res
+        )
 
     if red_lights:
         # red-light lane connectors are arbitrary polygons: approximate the

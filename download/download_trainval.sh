@@ -14,8 +14,8 @@ wget -c -q --show-progress "$HF_BASE/openscene_metadata_trainval.tgz"
 tar -xzf openscene_metadata_trainval.tgz && rm -f openscene_metadata_trainval.tgz
 
 for kind in camera lidar; do
-    for i in $(seq 0 31); do
-        echo "== trainval ${kind} shard ${i}/31"
+    for i in $(seq 0 199); do
+        echo "== trainval ${kind} shard ${i}/199"
         wget -c -q --show-progress "$HF_BASE/openscene_sensor_trainval_${kind}/openscene_sensor_trainval_${kind}_${i}.tgz"
         tar -xzf "openscene_sensor_trainval_${kind}_${i}.tgz"
         rm -f "openscene_sensor_trainval_${kind}_${i}.tgz"

@@ -2,6 +2,7 @@
 # PDMS evaluation of diffusiondrive_agent (reference analogue: scripts/evaluation/run_diffusiondrive.sh).
 set -euo pipefail
 source "$(dirname "$0")/../common.sh"
+: "${TRAIN_TEST_SPLIT:=navtest}"
 
 python -m diffusiondrive_tpu.script.run_pdm_score \
     --agent diffusiondrive_agent \

@@ -2,6 +2,7 @@
 # PDMS evaluation of human_agent (reference analogue: scripts/evaluation/run_human_agent_pdm_score_evaluation.sh).
 set -euo pipefail
 source "$(dirname "$0")/../common.sh"
+: "${TRAIN_TEST_SPLIT:=navtest}"
 
 python -m diffusiondrive_tpu.script.run_pdm_score \
     --agent human_agent \

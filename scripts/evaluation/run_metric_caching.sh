@@ -3,6 +3,7 @@
 # (reference analogue: scripts/evaluation/run_metric_caching.sh).
 set -euo pipefail
 source "$(dirname "$0")/../common.sh"
+: "${TRAIN_TEST_SPLIT:=navtest}"
 
 python -m diffusiondrive_tpu.script.run_metric_caching \
     --split "$TRAIN_TEST_SPLIT" \

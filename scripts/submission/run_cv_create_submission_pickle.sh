@@ -3,6 +3,7 @@
 # (reference analogue: scripts/submission/run_cv_create_submission_pickle.sh).
 set -euo pipefail
 source "$(dirname "$0")/../common.sh"
+: "${TRAIN_TEST_SPLIT:=navtest}"
 
 python -m diffusiondrive_tpu.script.run_create_submission_pickle \
     --agent constant_velocity_agent \
