@@ -63,3 +63,38 @@ def test_runner_cv_and_human(synthetic_log, tmp_path):
     assert all(r["valid"] for r in rows_h)
     for r in rows_h:
         assert r["score"] > 0.9, r
+
+
+def test_runner_batched_model_forward(synthetic_log, tmp_path):
+    """Feature-builder agents go through the runner's stacked batched forward
+    (`runner.py`: one compiled program per batch shape, partial batches padded
+    by repeating the last item) — the path every DiffusionDrive-family agent
+    uses in evaluation."""
+    from diffusiondrive_tpu.config.registry import build_agent
+
+    logs_dir, blobs_dir = synthetic_log
+    scene_filter = SceneFilter(num_history_frames=4, num_future_frames=10, frame_interval=1)
+
+    agent = build_agent("diffusiondrive_agent", config={
+        "image_architecture": "resnet18", "lidar_architecture": "resnet18",
+        "camera_height": 64, "camera_width": 256,
+        "lidar_resolution_height": 64, "lidar_resolution_width": 64,
+        "pixels_per_meter": 1.0,
+        "img_vert_anchors": 2, "img_horz_anchors": 8,
+        "lidar_vert_anchors": 2, "lidar_horz_anchors": 2,
+        "bev_pixel_height": 32, "bev_pixel_width": 64,
+    })
+    loader = SceneLoader(logs_dir, blobs_dir, scene_filter,
+                         sensor_config=agent.get_sensor_config(), build_map_api=False)
+
+    cache_dir = tmp_path / "metric_cache"
+    build_caches(loader.tokens, cache_dir)
+
+    # 2 tokens with batch_size 8 exercises the pad-partial-batch path
+    tokens = loader.tokens[:2]
+    loader.tokens[:] = tokens  # restrict the run
+    rows = run_pdm_score_evaluation(agent, loader, MetricCacheLoader(cache_dir), batch_size=8)
+    rows = [r for r in rows if r["token"] in tokens]
+    assert len(rows) == 2
+    assert all(r["valid"] for r in rows), rows
+    assert all(np.isfinite(r["score"]) for r in rows)
