@@ -71,5 +71,17 @@ class AbstractAgent(ABC):
         """Return an optax GradientTransformation (optionally with schedule)."""
         raise NotImplementedError("No optimizers. Agent does not support training.")
 
-    def get_training_callbacks(self) -> List[Any]:
+    def get_training_callbacks(self, output_dir: Any = None) -> List[Any]:
+        """Callbacks for the Trainer's epoch loop (reference:
+        `run_training.py:131` passes `agent.get_training_callbacks()`);
+        `output_dir` lets visualization callbacks know where to write."""
         return []
+
+    def set_mesh(self, mesh: Any) -> None:
+        """Shard this agent's batched forward over a `jax.sharding.Mesh`.
+
+        Default no-op: host-side agents (constant-velocity, human replay) have
+        no device program. Device agents rebuild their jitted forward with the
+        batch dim sharded over the mesh `data` axis so batched evaluation uses
+        every chip of the slice (the reference scales this with Ray workers,
+        `run_pdm_score.py:134-142`)."""

@@ -57,13 +57,16 @@ class DiffusionDriveAgent(AbstractAgent):
         self.model = DiffusionDriveModel(self._config, trajectory_head_type=trajectory_head_type,
                                          dtype=dtype)
         self.variables = None
+        self._mesh = None
+        self._build_forwards()
+
+    def _build_forwards(self) -> None:
+        """jit the eval forwards; with a mesh, batch dims shard over `data`."""
 
         def _forward(variables, camera, lidar, status):
             return self.model.apply(
                 variables, camera, lidar, status, rngs={"diffusion": jax.random.PRNGKey(7)}
             )
-
-        self._jit_forward = jax.jit(_forward)
 
         def _forward_raw(variables, cam_l0, cam_f0, cam_r0, points, valid, status):
             # fused device preprocessing: stitch/resize + Pallas BEV splat
@@ -74,7 +77,29 @@ class DiffusionDriveAgent(AbstractAgent):
             lidar = lidar_bev(points, valid, self._config)
             return _forward(variables, camera, lidar, status)
 
-        self._jit_forward_raw = jax.jit(_forward_raw)
+        if self._mesh is None:
+            self._jit_forward = jax.jit(_forward)
+            self._jit_forward_raw = jax.jit(_forward_raw)
+        else:
+            from diffusiondrive_tpu.parallel.mesh import batch_sharding, replicated
+
+            batch = batch_sharding(self._mesh)
+            repl = replicated(self._mesh)
+            self._jit_forward = jax.jit(
+                _forward, in_shardings=(repl, batch, batch, batch), out_shardings=batch
+            )
+            self._jit_forward_raw = jax.jit(
+                _forward_raw,
+                in_shardings=(repl,) + (batch,) * 6,
+                out_shardings=batch,
+            )
+
+    def set_mesh(self, mesh) -> None:
+        """Shard the planner forward's batch dim over the mesh `data` axis
+        (SPMD batched evaluation over ICI, SURVEY §2.10). Callers must pad
+        the eval batch to a multiple of `mesh.size` (the runner does)."""
+        self._mesh = mesh
+        self._build_forwards()
 
     @property
     def config(self) -> TransfuserConfig:
@@ -161,10 +186,16 @@ class DiffusionDriveAgent(AbstractAgent):
     def compute_loss(self, features, targets, predictions):
         return transfuser_loss(targets, predictions, self._config)["loss"]
 
-    def get_training_callbacks(self):
-        from diffusiondrive_tpu.training.callbacks import TimeLoggingCallback
+    def get_training_callbacks(self, output_dir=None):
+        from diffusiondrive_tpu.training.callbacks import (
+            BEVVisualizationCallback,
+            TimeLoggingCallback,
+        )
 
-        return [TimeLoggingCallback()]
+        callbacks = [TimeLoggingCallback()]
+        if output_dir is not None:
+            callbacks.append(BEVVisualizationCallback(str(Path(output_dir) / "viz")))
+        return callbacks
 
     def get_optimizers(self):
         opt_cfg = OptimizerConfig(lr=self._lr, weight_decay=self._config.weight_decay,

@@ -9,17 +9,22 @@ scored; sub-scores are reported for the prediction.
 TPU shape: per scene the proposal dim is 2 (pdm, pred). `batched_pdm_score`
 stacks S scenes into (S, 2, 41, 11) + stacked context arrays and runs ONE
 jitted vmap over scenes — the reference's per-token Ray tasks become a batch
-dimension sharded over the mesh.
+dimension. Pass a `jax.sharding.Mesh` to shard that scene dimension over the
+`data` axis (ICI): the SPMD partitioner splits both the simulate scan and the
+polygon-test score program across every chip of the slice, replacing the
+reference's Ray fan-out (`run_pdm_score.py:134-142`) with collectives-free
+batch parallelism (each scene is independent — no cross-chip traffic at all).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from diffusiondrive_tpu.common.dataclasses import PDMResults, Trajectory, TrajectorySampling
 from diffusiondrive_tpu.common.enums import StateIndex
@@ -84,13 +89,40 @@ def pdm_states_from_cache(metric_cache: MetricCache, simulation_sampling: Trajec
     return states
 
 
-@functools.lru_cache(maxsize=8)
-def _jitted_simulate(simulator: PDMSimulator):
-    return jax.jit(jax.vmap(simulator.simulate_proposals))
+def pad_polyline(coords: np.ndarray, multiple: int = 256) -> np.ndarray:
+    """Pad a polyline to the next length bucket by repeating its last vertex.
+
+    Centerline length varies per scene (graph-search route length), which
+    would recompile the jitted score program on every call. Bucketing to
+    multiples of `multiple` caps the number of distinct compiles at a handful
+    per dataset. Repeated-vertex padding is exact for the scorer: the padded
+    zero-length segments add nothing to the arc-length table and can never
+    win the nearest-segment argmin (`geometry.project_onto_polyline`).
+    """
+    L = len(coords)
+    target = max(multiple, -(-L // multiple) * multiple)
+    if target == L:
+        return coords
+    return np.concatenate([coords, np.repeat(coords[-1:], target - L, axis=0)], axis=0)
+
+
+def _shardings(mesh: Optional[Mesh]):
+    """(in_kwargs) batch-sharding jit kwargs for a scene-batched program."""
+    if mesh is None:
+        return {}
+    from diffusiondrive_tpu.parallel.mesh import batch_sharding
+
+    return {"in_shardings": batch_sharding(mesh), "out_shardings": batch_sharding(mesh)}
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_score(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
+def _jitted_simulate(simulator: PDMSimulator, mesh: Optional[Mesh] = None):
+    return jax.jit(jax.vmap(simulator.simulate_proposals), **_shardings(mesh))
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_score(simulator: PDMSimulator, scorer_config: PDMScorerConfig,
+                  mesh: Optional[Mesh] = None):
     def score_one(simulated, tracks_poses, tracks_extents, tracks_valid, tracks_is_agent,
                   tracks_is_red_light, tracks_is_stopped, tracks_previously_collided,
                   global_to_local, map_polygons, map_valid, map_layers, map_on_route, centerline):
@@ -102,17 +134,18 @@ def _jitted_score(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
             centerline, simulator.proposal_sampling, scorer_config,
         )
 
-    return jax.jit(jax.vmap(score_one))
+    return jax.jit(jax.vmap(score_one), **_shardings(mesh))
 
 
-def _score_scene(simulator: PDMSimulator, scorer_config: PDMScorerConfig):
+def _score_scene(simulator: PDMSimulator, scorer_config: PDMScorerConfig,
+                 mesh: Optional[Mesh] = None):
     """Per-scene (simulate + score); NOTE: compile simulate and score as two
     programs — XLA's compile time explodes (~400s vs ~9s) when the 40-step
     simulation scan and the dense polygon-test tensors are fused into one
     vmapped computation."""
 
-    sim_fn = _jitted_simulate(simulator)
-    score_fn = _jitted_score(simulator, scorer_config)
+    sim_fn = _jitted_simulate(simulator, mesh)
+    score_fn = _jitted_score(simulator, scorer_config, mesh)
 
     def run(proposal_states, initial_state, *ctx):
         simulated = sim_fn(proposal_states, initial_state)
@@ -137,13 +170,26 @@ def batched_pdm_score(
     model_trajectories: List[Trajectory],
     simulator: PDMSimulator,
     scorer_config: PDMScorerConfig = PDMScorerConfig(),
+    mesh: Optional[Mesh] = None,
 ) -> List[PDMResults]:
     """Score S scenes in one vmapped XLA program.
 
     All caches must share padded shapes (they do when produced by the same
-    caching pipeline config).
+    caching pipeline config). With a `mesh`, the scene dim is sharded over its
+    `data` axis (scenes are padded up to a device-count multiple by repeating
+    the last scene; padded rows are dropped from the returned results).
     """
+    num_real = len(metric_caches)
+    if mesh is not None:
+        pad = (-num_real) % mesh.size
+        metric_caches = list(metric_caches) + [metric_caches[-1]] * pad
+        model_trajectories = list(model_trajectories) + [model_trajectories[-1]] * pad
+
     sampling = simulator.proposal_sampling
+    # centerline lengths differ across caches (route length); bucket-pad to a
+    # common bucketed length so the batch stacks and the jit cache stays warm
+    # across batches
+    cl_bucket = max(256, -(-max(len(c.centerline) for c in metric_caches) // 256) * 256)
     proposals, ctx = [], []
     for cache, traj in zip(metric_caches, model_trajectories):
         pdm_states = pdm_states_from_cache(cache, sampling)
@@ -157,14 +203,14 @@ def batched_pdm_score(
                 t.poses, t.extents, t.valid, t.is_agent, t.is_red_light, t.is_stopped,
                 t.previously_collided, t.global_to_local,
                 d.polygons, d.valid, d.layers, d.on_route,
-                cache.centerline.astype(np.float32),
+                pad_polyline(cache.centerline.astype(np.float32), cl_bucket),
             )
         )
 
     stacked = [np.stack(x) for x in zip(*ctx)]
     proposals = np.stack(proposals)  # (S, 2, N+1, 11)
 
-    run = _score_scene(simulator, scorer_config)
+    run = _score_scene(simulator, scorer_config, mesh)
     out = run(jnp.asarray(proposals), *[jnp.asarray(x) for x in stacked])
     # ONE device->host transfer for the whole batch; per-scalar indexing of
     # device arrays would issue thousands of tiny fetches.
@@ -172,7 +218,7 @@ def batched_pdm_score(
 
     results = []
     pred = 1
-    for i in range(len(metric_caches)):
+    for i in range(num_real):
         results.append(
             PDMResults(
                 no_at_fault_collisions=float(out.no_at_fault_collisions[i, pred]),

@@ -55,10 +55,23 @@ def run_pdm_score_evaluation(
     num_io_threads: int = 16,
     host_id: int = 0,
     num_hosts: int = 1,
+    mesh=None,
+    overlap_io: bool = True,
 ) -> List[Dict[str, Any]]:
-    """Evaluate the agent on all tokens; returns one score row per token."""
+    """Evaluate the agent on all tokens; returns one score row per token.
+
+    With a `jax.sharding.Mesh`, the device half of each batch — the planner
+    forward and the batched simulate+score programs — shards the scene dim
+    over the mesh `data` axis, so an N-chip slice evaluates N batches' worth
+    of scenes per launch (the ICI half of the reference's Ray fan-out; hosts
+    still shard tokens via `shard_tokens_for_host`, the DCN half).
+    """
     simulator = simulator or PDMSimulator(TrajectorySampling(num_poses=40, interval_length=0.1))
     agent.initialize()
+    if mesh is not None:
+        # batch must tile evenly over the mesh (padded rows below keep shapes)
+        batch_size = ((batch_size + mesh.size - 1) // mesh.size) * mesh.size
+        agent.set_mesh(mesh)
 
     tokens = sorted(set(scene_loader.tokens) & set(metric_cache_loader.tokens))
     missing = len(set(scene_loader.tokens) - set(metric_cache_loader.tokens))
@@ -111,11 +124,17 @@ def run_pdm_score_evaluation(
     pending = prefetcher.submit(load_batch, batches[0]) if batches else None
 
     for batch_idx, batch_tokens in enumerate(batches):
+        if pending is None:  # overlap_io=False: load only when the device is idle
+            pending = prefetcher.submit(load_batch, batch_tokens)
         loaded = pending.result()
-        if batch_idx + 1 < len(batches):
-            # kick off the next batch's sensor IO before touching the device:
-            # host threads decode jpeg/pcd while the TPU runs this batch
-            pending = prefetcher.submit(load_batch, batches[batch_idx + 1])
+        # kick off the next batch's sensor IO before touching the device:
+        # host threads decode jpeg/pcd while the TPU runs this batch
+        # (overlap_io=False is the serial baseline the bench compares against)
+        pending = (
+            prefetcher.submit(load_batch, batches[batch_idx + 1])
+            if overlap_io and batch_idx + 1 < len(batches)
+            else None
+        )
 
         valid_items, trajectories = [], []
         for token, cache, payload, scene in loaded:
@@ -165,7 +184,8 @@ def run_pdm_score_evaluation(
             while len(caches) < batch_size:
                 caches.append(caches[-1])
                 trajs.append(trajs[-1])
-            results = batched_pdm_score(caches, trajs, simulator, scorer_config)[:n_valid]
+            results = batched_pdm_score(caches, trajs, simulator, scorer_config,
+                                        mesh=mesh)[:n_valid]
         except Exception:
             logger.exception("Batched scoring failed; falling back to per-token.")
             results = []

@@ -30,6 +30,10 @@ def main() -> None:
     add_common_args(parser)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--metric-cache-path", default=None)
+    parser.add_argument(
+        "--mesh-devices", type=int, default=0,
+        help="shard the eval batch over this many local devices "
+             "(0 = single-device; -1 = all local devices)")
     args = parser.parse_args()
 
     cfg = resolve_run_config(args)
@@ -52,6 +56,15 @@ def main() -> None:
     metric_cache_loader = MetricCacheLoader(Path(cfg["metric_cache_path"]))
 
     snapshot_config(cfg, Path(cfg["output_dir"]))
+    mesh = None
+    n_mesh = int(cfg.get("mesh_devices", args.mesh_devices))
+    if n_mesh:
+        import jax
+
+        from diffusiondrive_tpu.parallel.mesh import create_mesh
+
+        devices = jax.devices() if n_mesh < 0 else jax.devices()[:n_mesh]
+        mesh = create_mesh(devices)
     rows = run_pdm_score_evaluation(
         agent,
         scene_loader,
@@ -59,6 +72,7 @@ def main() -> None:
         batch_size=int(cfg.get("batch_size", 32)),
         host_id=int(cfg.get("host_id", 0)),
         num_hosts=int(cfg.get("num_hosts", 1)),
+        mesh=mesh,
     )
     out = write_score_csv(rows, Path(cfg["output_dir"]))
     print(json.dumps({"output_csv": str(out), "num_tokens": len(rows)}))
