@@ -26,7 +26,7 @@ from diffusiondrive_tpu.common.dataclasses import Scene, TrajectorySampling
 from diffusiondrive_tpu.common.enums import StateIndex
 from diffusiondrive_tpu.common.geometry import StateSE2, normalize_angle, parallel_discrete_path
 from diffusiondrive_tpu.evaluate.observation import DrivableAreaArrays, TrackArrays
-from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig, score_proposals
+from diffusiondrive_tpu.evaluate.scorer import PDMScorerConfig
 from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
 from diffusiondrive_tpu.evaluate.state_array import state_array_to_coords_array
 from diffusiondrive_tpu.evaluate.vehicle import get_pacifica_parameters
@@ -299,21 +299,29 @@ class PDMClosedPlanner:
 
         import jax.numpy as jnp
 
-        simulated = self._simulator.simulate_proposals(
-            jnp.asarray(proposals[:, : cfg.proposal_sampling.num_poses + 1], jnp.float32),
-            jnp.asarray(ego_state, jnp.float32),
-        )
+        from diffusiondrive_tpu.evaluate.pdm_score import _score_scene, pad_polyline
+
+        # Reuse the lru-cached jitted simulate/score programs (S=1 batch):
+        # eager score_proposals would re-trace per scene (the captured
+        # centerline constant differs), costing seconds of XLA compile per
+        # scene in the metric-caching fan-out. The centerline is bucket-padded
+        # for the same reason (repeat-last-vertex padding is exact, see
+        # `pad_polyline`).
         obs, dam = self.observation, self.drivable_area_map
-        scores = score_proposals(
-            simulated,
-            jnp.asarray(obs.poses), jnp.asarray(obs.extents), jnp.asarray(obs.valid),
-            jnp.asarray(obs.is_agent), jnp.asarray(obs.is_red_light), jnp.asarray(obs.is_stopped),
-            jnp.asarray(obs.previously_collided), jnp.asarray(obs.global_to_local),
-            jnp.asarray(dam.polygons), jnp.asarray(dam.valid), jnp.asarray(dam.layers),
-            jnp.asarray(dam.on_route), jnp.asarray(self.centerline.coords, jnp.float32),
-            cfg.proposal_sampling, PDMScorerConfig(),
-        ).score
-        best = int(np.argmax(np.asarray(scores)))
+        centerline = pad_polyline(np.asarray(self.centerline.coords, np.float32))
+        run = _score_scene(self._simulator, PDMScorerConfig())
+        out = run(
+            jnp.asarray(proposals[None, :, : cfg.proposal_sampling.num_poses + 1], jnp.float32),
+            jnp.asarray(ego_state[None], jnp.float32),
+            jnp.asarray(obs.poses[None]), jnp.asarray(obs.extents[None]),
+            jnp.asarray(obs.valid[None]), jnp.asarray(obs.is_agent[None]),
+            jnp.asarray(obs.is_red_light[None]), jnp.asarray(obs.is_stopped[None]),
+            jnp.asarray(obs.previously_collided[None]), jnp.asarray(obs.global_to_local[None]),
+            jnp.asarray(dam.polygons[None]), jnp.asarray(dam.valid[None]),
+            jnp.asarray(dam.layers[None]), jnp.asarray(dam.on_route[None]),
+            jnp.asarray(centerline[None]),
+        )
+        best = int(np.argmax(np.asarray(out.score[0])))
 
         poses = proposals[best, :, StateIndex.STATE_SE2]
         times = np.arange(cfg.trajectory_sampling.num_poses + 1) * cfg.trajectory_sampling.interval_length
