@@ -50,6 +50,12 @@ def _ensure_builtins() -> None:
         from diffusiondrive_tpu.models.config import TransfuserConfig
 
         config_kwargs = kwargs.pop("config", {}) or {}
+        if isinstance(kwargs.get("dtype"), str):
+            # YAML configs name the compute dtype as a string ("bfloat16",
+            # "float32"); params stay fp32 either way (mixed precision)
+            import jax.numpy as jnp
+
+            kwargs["dtype"] = getattr(jnp, kwargs["dtype"])
         return DiffusionDriveAgent(config=TransfuserConfig(**config_kwargs), **kwargs)
 
     def _transfuser(**kwargs):

@@ -127,7 +127,17 @@ def bev_semantic_loss(predictions: Dict[str, jnp.ndarray], targets: Dict[str, jn
 def transfuser_loss(
     targets: Dict[str, jnp.ndarray], predictions: Dict[str, jnp.ndarray], config: TransfuserConfig
 ) -> Dict[str, jnp.ndarray]:
-    """Combined loss dict (`transfuser_loss.py:12-51`)."""
+    """Combined loss dict (`transfuser_loss.py:12-51`).
+
+    Predictions are upcast to fp32 on entry: under bf16-mixed training
+    (reference default `precision: 16-mixed`, `default_training.yaml:43`) the
+    model computes in bf16 but the loss — log/exp/focal terms and the final
+    accumulation — must run fp32 or small loss components round away.
+    """
+    predictions = {
+        k: v.astype(jnp.float32) if jnp.issubdtype(v.dtype, jnp.floating) else v
+        for k, v in predictions.items()
+    }
     if "poses_reg_layers" in predictions:
         trajectory_loss, traj_dict = diffusion_trajectory_loss(predictions, targets, config)
     else:

@@ -220,7 +220,10 @@ def make_val_step(model, config: TransfuserConfig) -> Callable:
             rngs={"diffusion": rng},
         )
         metrics = dict(transfuser_loss(targets, outputs, config))
-        l2 = jnp.linalg.norm(outputs["trajectory"][..., :2] - targets["trajectory"][..., :2], axis=-1)
+        l2 = jnp.linalg.norm(
+            outputs["trajectory"][..., :2].astype(jnp.float32) - targets["trajectory"][..., :2],
+            axis=-1,
+        )
         metrics["ade"] = l2.mean()
         metrics["fde"] = l2[:, -1].mean()
         return metrics
