@@ -45,6 +45,14 @@ def main() -> None:
         parser.error("--cache-path (or cache_path in --config) is required")
     snapshot_config(cfg, Path(cfg["output_dir"]))
 
+    # precision -> model compute dtype (params/optimizer stay fp32; parity:
+    # the reference's `precision: 16-mixed`, `default_training.yaml:43`)
+    precision = str(cfg.get("precision", "bf16-mixed"))
+    if "diffusion" in cfg["agent"]["name"] or "transfuser" in cfg["agent"]["name"]:
+        cfg["agent"].setdefault(
+            "dtype",
+            {"bf16-mixed": "bfloat16", "fp32": "float32", "32": "float32"}.get(precision, "bfloat16"),
+        )
     agent = agent_from_config(cfg["agent"])
     feature_builders = agent.get_feature_builders()
     target_builders = agent.get_target_builders()
@@ -93,7 +101,8 @@ def main() -> None:
         weight_decay=agent.config.weight_decay if hasattr(agent, "config") else 1e-4,
         ema_decay=cfg.get("ema_decay"),
     )
-    trainer = Trainer(agent.model, agent.config, opt_cfg, output_dir=cfg["output_dir"], seed=seed)
+    trainer = Trainer(agent.model, agent.config, opt_cfg, output_dir=cfg["output_dir"], seed=seed,
+                      callbacks=agent.get_training_callbacks(output_dir=cfg["output_dir"]))
     val_batches = None
     if cfg.get("val_split"):
         val_split = load_split(cfg["val_split"])

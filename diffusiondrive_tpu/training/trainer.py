@@ -3,16 +3,18 @@
 Replaces the pytorch-lightning Trainer + AgentLightningModule
 (`run_training.py:81-138`, `agent_lightning_module.py`). The per-step work is
 the jitted sharded train step from `training/train.py`; this class handles the
-host loop: batch iteration, metric averaging, wall-time logging
-(TimeLoggingCallback parity), checkpoint save/restore.
+host loop: batch iteration, metric averaging, callback hooks, a persistent
+per-step metrics sink (`metrics.jsonl`, the tensorboard-`log_dict` equivalent
+of `agent_lightning_module.py:35`), checkpoint save/restore.
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import time
 from pathlib import Path
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
 import numpy as np
@@ -42,6 +44,7 @@ class Trainer:
         output_dir: Optional[str] = None,
         mesh=None,
         seed: int = 0,
+        callbacks: Optional[List] = None,
     ):
         self.model = model
         self.model_config = model_config
@@ -49,10 +52,37 @@ class Trainer:
         self.mesh = mesh or create_mesh()
         self.output_dir = Path(output_dir) if output_dir else None
         self.seed = seed
+        self.callbacks = list(callbacks or [])
         self.state: Optional[TrainState] = None
         self.last_val_metrics: Dict[str, float] = {}
         self._step_fn = None
         self._val_fn = None
+        self._eval_fn = None
+        self._metrics_fp = None
+
+    def _hook(self, name: str, *args, **kwargs) -> None:
+        """Invoke `name` on every callback that implements it."""
+        for cb in self.callbacks:
+            fn = getattr(cb, name, None)
+            if fn is not None:
+                try:
+                    fn(*args, **kwargs)
+                except Exception:  # noqa: BLE001 — a viz failure must not kill training
+                    logger.exception("callback %s.%s failed", type(cb).__name__, name)
+
+    def _log_metrics(self, split: str, epoch: int, step: int, metrics: Dict[str, float]) -> None:
+        """Append one row to `<output_dir>/metrics.jsonl` — every loss
+        component per step, the persistent equivalent of the reference's
+        per-step tensorboard `log_dict` (`agent_lightning_module.py:35`)."""
+        if self.output_dir is None:
+            return
+        if self._metrics_fp is None:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+            self._metrics_fp = open(self.output_dir / "metrics.jsonl", "a")
+        row = {"split": split, "epoch": epoch, "step": step,
+               **{k: round(float(v), 6) for k, v in metrics.items()}}
+        self._metrics_fp.write(json.dumps(row) + "\n")
+        self._metrics_fp.flush()
 
     def setup(self, example_batch: Dict[str, np.ndarray]) -> None:
         self.state, tx = create_train_state(
@@ -80,8 +110,10 @@ class Trainer:
         validate_every_epochs: int = 1,
     ) -> TrainState:
         rng = jax.random.PRNGKey(self.seed + 1)
+        global_step = 0
         with self.mesh:
             for epoch in range(num_epochs):
+                self._hook("on_epoch_start", "train", epoch)
                 epoch_start = time.perf_counter()
                 metrics_acc: Dict[str, float] = {}
                 count = 0
@@ -91,26 +123,39 @@ class Trainer:
                     sharded = shard_batch(batch, self.mesh)
                     self.state, metrics = self._step_fn(self.state, sharded, rng)
                     count += 1
+                    global_step += 1
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    self._log_metrics("train", epoch, global_step, metrics)
                     if count % log_every == 0:
-                        metrics = {k: float(v) for k, v in metrics.items()}
                         logger.info("epoch %d step %d: %s", epoch, count,
                                     {k: round(v, 4) for k, v in metrics.items()})
-                    for k, v in jax.tree_util.tree_map(float, metrics).items():
+                    for k, v in metrics.items():
                         metrics_acc[k] = metrics_acc.get(k, 0.0) + v
                 wall = time.perf_counter() - epoch_start
                 means = {k: v / max(count, 1) for k, v in metrics_acc.items()}
                 logger.info("epoch %d done in %.1fs (%d steps): train %s", epoch, wall, count,
                             {k: round(v, 4) for k, v in means.items()})
+                self._hook("on_epoch_end", "train", epoch)
 
                 if val_batches is not None and (epoch + 1) % validate_every_epochs == 0:
-                    self._validate(val_batches(epoch), epoch)
+                    self._hook("on_epoch_start", "val", epoch)
+                    self._validate(val_batches(epoch), epoch, global_step)
+                    self._hook("on_epoch_end", "val", epoch)
                 if self.output_dir and (epoch + 1) % checkpoint_every_epochs == 0:
                     self.save_checkpoint(epoch)
+        if self._metrics_fp is not None:
+            self._metrics_fp.close()
+            self._metrics_fp = None
         return self.state
 
-    def _validate(self, batches: Iterable[Dict[str, np.ndarray]], epoch: int) -> Dict[str, float]:
+    def _validate(self, batches: Iterable[Dict[str, np.ndarray]], epoch: int,
+                  global_step: int = 0) -> Dict[str, float]:
         """Jitted test-path validation (2-step DDIM forward, the program eval
-        runs); when EMA is enabled the EMA weights are validated too."""
+        runs); when EMA is enabled the EMA weights are validated too. The
+        first batch additionally feeds any `on_validation_batch` callbacks
+        (BEV viz tiles, `transfuser_callback.py:21` parity) with the eval
+        forward's predictions."""
+        wants_outputs = any(getattr(cb, "on_validation_batch", None) for cb in self.callbacks)
         totals: Dict[str, float] = {}
         count = 0
         rng = jax.random.PRNGKey(0)  # fixed key: deterministic val noise draw
@@ -123,9 +168,18 @@ class Trainer:
                 metrics = self._val_fn(variables, sharded, rng)
                 for k, v in metrics.items():
                     totals[prefix + k] = totals.get(prefix + k, 0.0) + float(v)
+            if count == 0 and wants_outputs:
+                if self._eval_fn is None:
+                    from diffusiondrive_tpu.training.train import make_eval_step
+
+                    self._eval_fn = jax.jit(make_eval_step(self.model))
+                outputs = self._eval_fn(variants[0][1], sharded, rng)
+                outputs = {k: np.asarray(v, np.float32) for k, v in outputs.items()}
+                self._hook("on_validation_batch", epoch, batch, outputs, 0)
             count += 1
         means = {k: v / max(count, 1) for k, v in totals.items()}
         self.last_val_metrics = means
+        self._log_metrics("val", epoch, global_step, means)
         logger.info("epoch %d val: %s", epoch, {k: round(v, 4) for k, v in means.items()})
         return means
 

@@ -18,6 +18,7 @@ from diffusiondrive_tpu.agents.diffusiondrive.agent import DiffusionDriveAgent
 from diffusiondrive_tpu.models.config import TransfuserConfig
 from diffusiondrive_tpu.models.transfuser_model import DiffusionDriveModel
 from diffusiondrive_tpu.parallel.mesh import create_mesh
+from diffusiondrive_tpu.training.callbacks import BEVVisualizationCallback, TimeLoggingCallback
 from diffusiondrive_tpu.training.train import OptimizerConfig
 from diffusiondrive_tpu.training.trainer import Trainer
 
@@ -58,7 +59,9 @@ def test_fit_checkpoint_resume_converge(tmp_path):
                           ema_decay=0.99)
     batch = tiny_batch()
 
-    trainer = Trainer(model, config, opt, output_dir=str(tmp_path / "ckpt"), mesh=mesh)
+    trainer = Trainer(model, config, opt, output_dir=str(tmp_path / "ckpt"), mesh=mesh,
+                      callbacks=[TimeLoggingCallback(),
+                                 BEVVisualizationCallback(str(tmp_path / "viz"), max_samples=2)])
     trainer.setup(batch)
 
     # first-step loss as the convergence baseline
@@ -89,8 +92,30 @@ def test_fit_checkpoint_resume_converge(tmp_path):
     # EMA weights were validated too (lagging but in the same regime)
     assert "ema_loss" in val and np.isfinite(val["ema_loss"])
 
+    # --- persistent per-step metrics sink: one JSONL row per train step with
+    # every loss component, plus one per validation pass
+    # (tensorboard-`log_dict` parity, `agent_lightning_module.py:35`)
+    import json
+
+    metrics_rows = [json.loads(line)
+                    for line in (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()]
+    train_rows = [r for r in metrics_rows if r["split"] == "train"]
+    val_rows = [r for r in metrics_rows if r["split"] == "val"]
+    assert len(train_rows) == 80 and len(val_rows) == 2
+    for key in ("loss", "trajectory_loss", "agent_class_loss", "agent_box_loss",
+                "bev_semantic_loss"):
+        assert key in train_rows[0], train_rows[0]
+    assert "ade" in val_rows[0] and "ema_loss" in val_rows[0]
+    assert train_rows[-1]["loss"] < train_rows[0]["loss"]
+
+    # --- BEV visualization callback wrote GT-vs-pred tiles at each validation
+    viz_files = sorted((tmp_path / "viz").rglob("*.png"))
+    assert any("bev_semantic" in f.name for f in viz_files), viz_files
+    assert any("epoch_0039" in str(f) for f in viz_files), viz_files
+
     # --- checkpoint contains EMA; restore resumes exactly
-    ckpts = sorted((tmp_path / "ckpt").iterdir())
+    # (output_dir also holds metrics.jsonl — checkpoints are the directories)
+    ckpts = sorted(p for p in (tmp_path / "ckpt").iterdir() if p.is_dir())
     assert len(ckpts) == 1
 
     trainer2 = Trainer(model, config, opt, mesh=mesh)
