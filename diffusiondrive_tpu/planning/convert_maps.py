@@ -1,8 +1,9 @@
 """Offline converter: nuplan GPKG maps -> LocalMapAPI pickle records.
 
 Replaces the runtime nuplan map API dependency (GPKG/SQLite via
-fiona/geopandas, SURVEY §2.9) with a one-time offline conversion. Run this
-once per map location on a machine with `geopandas` installed; the resulting
+fiona/geopandas, SURVEY §2.9) with a one-time offline conversion. GPKG IO is
+pure-stdlib (`planning/gpkg.py`: sqlite3 + WKB parsing), so the conversion
+runs anywhere — no geopandas/GDAL required. The resulting
 `<location>.ddmap.pkl` files are what `planning/map_api.get_maps_api` loads —
 pure-numpy at runtime, no geo stack needed.
 
@@ -20,11 +21,11 @@ Layer mapping (nuplan-maps-v1.0 GPKG):
 Graph fields: lanes carry parent roadblock (lane_group_fid) and outgoing
 lane-connector successors; roadblocks chain through lane_group_connectors.
 
-The conversion is split so the schema logic is testable without the geo
-stack: `rows_from_gpkg` (geopandas IO -> plain row dicts with numpy geometry)
-feeds `build_map_objects` (pure: fid normalization, graph building, roadblock
-graph derivation). Unit tests exercise the pure half with fixture rows
-mirroring the GPKG schema (`tests/test_convert_maps.py`).
+The conversion is split in two testable halves: `rows_from_gpkg` (sqlite3 +
+WKB IO -> plain row dicts with numpy geometry) feeds `build_map_objects`
+(pure: fid normalization, graph building, roadblock graph derivation). Unit
+tests exercise both — the schema half with fixture rows and the IO half
+against an in-test-built real .gpkg file (`tests/test_convert_maps.py`).
 
 Usage:
     python -m diffusiondrive_tpu.planning.convert_maps \
@@ -61,32 +62,6 @@ POLYGON_LAYERS = {
 }
 
 BASELINE_LAYER = "baseline_paths"
-
-
-# --------------------------------------------------------------------------- #
-# Geometry extraction (shapely objects -> numpy; used only on the IO side)
-# --------------------------------------------------------------------------- #
-
-
-def _exterior(geom) -> Optional[np.ndarray]:
-    """Largest exterior ring of a (Multi)Polygon as (N, 2)."""
-    if geom is None or geom.is_empty:
-        return None
-    if geom.geom_type == "MultiPolygon":
-        geom = max(geom.geoms, key=lambda g: g.area)
-    if geom.geom_type != "Polygon":
-        return None
-    return np.asarray(geom.exterior.coords, dtype=np.float64)[:, :2]
-
-
-def _line_coords(line) -> Optional[np.ndarray]:
-    if line is None or line.is_empty:
-        return None
-    if line.geom_type == "MultiLineString":
-        line = max(line.geoms, key=lambda g: g.length)
-    if line.geom_type != "LineString":
-        return None
-    return np.asarray(line.coords, dtype=np.float64)[:, :2]
 
 
 def baseline_poses_from_coords(xy: Optional[np.ndarray]) -> Optional[np.ndarray]:
@@ -211,30 +186,35 @@ def build_map_objects(
 
 
 # --------------------------------------------------------------------------- #
-# GPKG IO (geopandas side)
+# GPKG IO (pure stdlib: sqlite3 + WKB, `planning/gpkg.py`)
 # --------------------------------------------------------------------------- #
 
 
 def rows_from_gpkg(gpkg_path: Path) -> Dict[str, List[dict]]:
     """Read the used GPKG layers into plain row dicts with numpy geometry."""
-    import geopandas as gpd
+    from diffusiondrive_tpu.planning.gpkg import (
+        exterior_ring,
+        geometry_columns,
+        line_coords,
+        open_gpkg,
+        read_layer,
+    )
 
     rows: Dict[str, List[dict]] = {}
-    for layer_name in list(POLYGON_LAYERS) + [BASELINE_LAYER]:
-        try:
-            df = gpd.read_file(gpkg_path, layer=layer_name)
-        except Exception:
-            logger.warning("%s: layer %s missing", gpkg_path, layer_name)
-            continue
-        out: List[dict] = []
-        for _, row in df.iterrows():
-            record = {c: row.get(c) for c in df.columns if c != "geometry"}
-            if layer_name == BASELINE_LAYER:
-                record["coords"] = _line_coords(row.geometry)
-            else:
-                record["polygon"] = _exterior(row.geometry)
-            out.append(record)
-        rows[layer_name] = out
+    with open_gpkg(gpkg_path) as conn:
+        geom_cols = geometry_columns(conn)
+        for layer_name in list(POLYGON_LAYERS) + [BASELINE_LAYER]:
+            if layer_name not in geom_cols:
+                logger.warning("%s: layer %s missing", gpkg_path, layer_name)
+                continue
+            out: List[dict] = []
+            for record, geom in read_layer(conn, layer_name, geom_cols[layer_name]):
+                if layer_name == BASELINE_LAYER:
+                    record["coords"] = line_coords(geom)
+                else:
+                    record["polygon"] = exterior_ring(geom)
+                out.append(record)
+            rows[layer_name] = out
     return rows
 
 
