@@ -109,6 +109,13 @@ class DiffusionDriveAgent(AbstractAgent):
         return self.__class__.__name__
 
     def initialize(self) -> None:
+        if self.variables is not None:
+            # idempotent: the runner calls initialize() per evaluation run
+            # (reference worker semantics), but re-running `jax.jit(model.init)`
+            # builds a fresh jit wrapper whose cache never hits — a ~40 s XLA
+            # recompile per run measured on v5e. Weights are fixed at
+            # construction time, so the first init is the only one needed.
+            return
         cfg = self._config
         if self._checkpoint_path and Path(self._checkpoint_path).suffix in (".pth", ".ckpt", ".pt", ".bin"):
             # published torch checkpoint (e.g. the 88.1-PDMS weights)

@@ -93,6 +93,8 @@ class EgoStatusMLPAgent(AbstractAgent):
         return self.__class__.__name__
 
     def initialize(self) -> None:
+        if self.variables is not None:
+            return  # idempotent — see DiffusionDriveAgent.initialize
         if self._checkpoint_path:
             import orbax.checkpoint as ocp
 

@@ -13,6 +13,7 @@ Per-token failures are quarantined as `valid=False` rows and the final CSV
 from __future__ import annotations
 
 import logging
+import os
 from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime
 from pathlib import Path
@@ -56,7 +57,7 @@ def run_pdm_score_evaluation(
     host_id: int = 0,
     num_hosts: int = 1,
     mesh=None,
-    overlap_io: bool = True,
+    overlap_io: Optional[bool] = None,
 ) -> List[Dict[str, Any]]:
     """Evaluate the agent on all tokens; returns one score row per token.
 
@@ -89,6 +90,23 @@ def run_pdm_score_evaluation(
         feature_builders = []
 
     rows: List[Dict[str, Any]] = []
+    if overlap_io is None:
+        # prefetching batch N+1's IO under batch N's device work needs a
+        # spare core: on a 1-CPU host the prefetch thread just steals time
+        # from the (host-bound) main loop and measures ~30% slower.
+        overlap_io = (os.cpu_count() or 1) > 1
+    # Thread oversubscription kills decode throughput: cv2's per-call worker
+    # threads multiply with the pool's, and on a small host the spinning
+    # costs far more than the decode (measured 16 threads x default cv2 =
+    # 6x slower than serial on 1 CPU). One cv2 thread per pool worker and
+    # <= 2 workers per CPU is the fast configuration everywhere.
+    num_io_threads = max(1, min(num_io_threads, 2 * (os.cpu_count() or 1)))
+    try:
+        import cv2
+
+        cv2.setNumThreads(1)
+    except ImportError:
+        pass
     pool = ThreadPoolExecutor(max_workers=num_io_threads)
     # single-slot prefetcher double-buffers batch N+1's IO under batch N's
     # device work (separate executor: a shared pool could deadlock with the
