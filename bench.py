@@ -97,6 +97,15 @@ def main() -> None:
     mfu_b1 = flops_b1 * fps / peak if flops_b1 else None
     mfu_b16 = flops_b16 * (batch_fps / B) / peak if flops_b16 else None
 
+    # Device-time MFU: wall MFU under-reports the chip on this tunneled setup
+    # (dispatching one launch costs ~1.1 ms RTT + ~1.5 ms arg marshalling for
+    # the 731-leaf param tree, ~20% of a b16 step; measured in round 3). A
+    # short profiler trace gives XLA's own on-device execution time for the
+    # b16 program, i.e. what the forward costs on a production (PCIe) host.
+    dev_time_b16 = _device_time_per_launch(
+        lambda: _force_fetch(_chained(variables, camera_b, lidar_b, status_b)))
+    mfu_b16_dev = flops_b16 / dev_time_b16 / peak if (flops_b16 and dev_time_b16) else None
+
     # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene).
     # 256 scenes/launch: the TTC edge-pair intermediates cap a single launch
     # well below 1024 scenes on 16 GB (XLA materializes all object chunks of
@@ -110,8 +119,8 @@ def main() -> None:
     # Same loop under the reference's actual measurement condition
     # (`run_pdm_score.py:82-87`): real sensor blobs — jpeg decode + camera
     # stitch + lidar splat feeding the full DiffusionDrive forward — with the
-    # IO/compute double-buffer on vs off.
-    sensors_sps, sensors_serial_sps = _bench_e2e_sensors()
+    # runner's auto IO/compute overlap (headline) and forced overlap.
+    sensors_sps, sensors_overlap_sps = _bench_e2e_sensors()
 
     print(
         json.dumps(
@@ -124,11 +133,13 @@ def main() -> None:
                     "batch16_throughput_fps": round(batch_fps, 2),
                     "mfu_batch1": round(mfu_b1, 4) if mfu_b1 else None,
                     "mfu_batch16": round(mfu_b16, 4) if mfu_b16 else None,
+                    "mfu_batch16_device": round(mfu_b16_dev, 4) if mfu_b16_dev else None,
+                    "device_ms_batch16": round(dev_time_b16 * 1e3, 3) if dev_time_b16 else None,
                     "peak_bf16_tflops": round(peak / 1e12, 1),
                     "pdm_scoring_scenes_per_s": round(scoring_sps, 1),
                     "e2e_eval_scenes_per_s": round(e2e_sps, 1) if e2e_sps else None,
                     "e2e_eval_scenes_per_s_with_sensors": round(sensors_sps, 1) if sensors_sps else None,
-                    "e2e_eval_scenes_per_s_with_sensors_serial": round(sensors_serial_sps, 1) if sensors_serial_sps else None,
+                    "e2e_eval_scenes_per_s_with_sensors_forced_overlap": round(sensors_overlap_sps, 1) if sensors_overlap_sps else None,
                     "baseline_fps": BASELINE_FPS,
                     "device": str(jax.devices()[0]),
                 },
@@ -149,6 +160,45 @@ def _peak_bf16_flops(device) -> float:
     if "v4" in kind:
         return 275e12
     return 197e12
+
+
+def _device_time_per_launch(run_once, launches: int = 4) -> float:
+    """Seconds of on-device execution per launch of `run_once`, from a
+    `jax.profiler` trace (XLA's own device timeline; excludes host dispatch
+    and the tunnel RTT). Returns 0.0 if tracing is unsupported."""
+    import glob
+    import gzip
+    import shutil
+    import tempfile
+
+    tracedir = tempfile.mkdtemp(prefix="dd_bench_trace_")
+    try:
+        jax.profiler.start_trace(tracedir)
+        for _ in range(launches):
+            run_once()
+        jax.profiler.stop_trace()
+        paths = glob.glob(f"{tracedir}/plugins/profile/*/*.trace.json.gz")
+        if not paths:
+            return 0.0
+        with gzip.open(paths[0]) as f:
+            events = json.load(f)["traceEvents"]
+        device_pids = {
+            e["pid"] for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "TPU" in e["args"].get("name", "")
+        }
+        # top-level executable events on the device timeline (XLA modules);
+        # per-launch time = total / launches
+        total_us = sum(
+            e.get("dur", 0) for e in events
+            if e.get("ph") == "X" and e.get("pid") in device_pids
+            and e["name"].startswith("jit_")
+        )
+        return total_us / launches / 1e6
+    except Exception:
+        return 0.0
+    finally:
+        shutil.rmtree(tracedir, ignore_errors=True)
 
 
 def _xla_flops(fn, *args) -> float:
@@ -261,9 +311,9 @@ def _bench_e2e_sensors(num_tokens: int = 48, batch_size: int = 16):
             return run_pdm_score_evaluation(agent, loader, cache_loader,
                                             batch_size=batch_size, overlap_io=overlap)
 
-        run(True)  # warm-up: compiles the batched forward + batch-16 scoring
+        run(None)  # warm-up: compiles the batched forward + batch-16 scoring
         results = []
-        for overlap in (True, False):
+        for overlap in (None, True):  # auto (production default), forced overlap
             start = time.perf_counter()
             rows = run(overlap)
             elapsed = time.perf_counter() - start

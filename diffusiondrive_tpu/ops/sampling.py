@@ -115,4 +115,11 @@ def adaptive_avg_pool2d(x: jnp.ndarray, output_size: Sequence[int]) -> jnp.ndarr
     oh, ow = output_size
     assert H % oh == 0 and W % ow == 0, f"adaptive pool needs integer factors, got {(H, W)} -> {(oh, ow)}"
     fh, fw = H // oh, W // ow
-    return x.reshape(N, oh, fh, ow, fw, C).mean(axis=(2, 4))
+    y = x.reshape(N, oh, fh, ow, fw, C)
+    # Two-stage mean, first stage in the input dtype: jnp.mean's automatic
+    # bf16 -> f32 upcast makes XLA materialize a full-precision copy of the
+    # largest activation in the network (profiled: an extra 67 MB HBM write +
+    # read at layer1). Averaging the fw<=8 window in bf16 first keeps the big
+    # tensor in bf16; the 8x smaller second stage accumulates in f32.
+    y = y.mean(axis=4, dtype=y.dtype)
+    return y.mean(axis=2, dtype=jnp.float32).astype(x.dtype)

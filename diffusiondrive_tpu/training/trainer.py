@@ -26,6 +26,7 @@ from diffusiondrive_tpu.training.train import (
     create_train_state,
     make_train_step,
     make_val_step,
+    replicate_state,
     shard_train_step,
     shard_val_step,
 )
@@ -88,6 +89,10 @@ class Trainer:
         self.state, tx = create_train_state(
             self.model, jax.random.PRNGKey(self.seed), example_batch, self.opt_cfg
         )
+        # commit to the step's output sharding NOW: an uncommitted initial
+        # state makes step 1's signature unique and costs a ~95 s (full-size)
+        # retrace+recompile at step 2 (see train.replicate_state)
+        self.state = replicate_state(self.state, self.mesh)
         self._step_fn = shard_train_step(
             make_train_step(self.model, self.model_config, tx, ema_decay=self.opt_cfg.ema_decay),
             self.mesh,
@@ -117,6 +122,25 @@ class Trainer:
                 epoch_start = time.perf_counter()
                 metrics_acc: Dict[str, float] = {}
                 count = 0
+                # Deferred metric fetch: reading a loss value blocks until the
+                # step finishes, so fetching every step serializes the pipeline
+                # (host enqueues step N+1 only after step N's device work AND a
+                # host round trip — measured ~2x step time through the tunnel).
+                # Steps are enqueued back-to-back and the device scalars are
+                # pulled every `log_every` steps / at epoch end; every step
+                # still gets its own JSONL row.
+                pending: List = []
+
+                def flush_pending() -> Dict[str, float]:
+                    last: Dict[str, float] = {}
+                    for gstep, dev_metrics in pending:
+                        last = {k: float(v) for k, v in dev_metrics.items()}
+                        self._log_metrics("train", epoch, gstep, last)
+                        for k, v in last.items():
+                            metrics_acc[k] = metrics_acc.get(k, 0.0) + v
+                    pending.clear()
+                    return last
+
                 for batch in train_batches(epoch):
                     if self.state is None:
                         self.setup(batch)
@@ -124,13 +148,11 @@ class Trainer:
                     self.state, metrics = self._step_fn(self.state, sharded, rng)
                     count += 1
                     global_step += 1
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    self._log_metrics("train", epoch, global_step, metrics)
+                    pending.append((global_step, metrics))
                     if count % log_every == 0:
                         logger.info("epoch %d step %d: %s", epoch, count,
-                                    {k: round(v, 4) for k, v in metrics.items()})
-                    for k, v in metrics.items():
-                        metrics_acc[k] = metrics_acc.get(k, 0.0) + v
+                                    {k: round(v, 4) for k, v in flush_pending().items()})
+                flush_pending()
                 wall = time.perf_counter() - epoch_start
                 means = {k: v / max(count, 1) for k, v in metrics_acc.items()}
                 logger.info("epoch %d done in %.1fs (%d steps): train %s", epoch, wall, count,
@@ -213,5 +235,5 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(Path(path).absolute(), target)
         ckptr.close()
-        self.state = self.state.replace(**restored)
+        self.state = replicate_state(self.state.replace(**restored), self.mesh)
         logger.info("restored checkpoint %s (step %d)", path, int(self.state.step))

@@ -79,6 +79,10 @@ def test_fit_checkpoint_resume_converge(tmp_path):
                         val_batches=lambda epoch: iter([batch]),
                         checkpoint_every_epochs=80, validate_every_epochs=40)
     assert int(state.step) == 80
+    # one compiled program serves every step: an uncommitted initial state
+    # would give step 1 its own signature and recompile at step 2 (~95 s on
+    # the full-size model; see train.replicate_state)
+    assert orig_step._cache_size() == 1, orig_step._cache_size()
 
     # --- converged: overfit the fixed batch decisively
     val = trainer.last_val_metrics

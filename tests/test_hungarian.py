@@ -1,0 +1,55 @@
+"""In-graph JV linear assignment vs scipy (the reference's solver).
+
+The reference calls `scipy.optimize.linear_sum_assignment` on host once per
+train step (`transfuser_loss.py:89-91`); ours runs inside the XLA program.
+Optimal cost must match scipy exactly (assignments may differ on ties)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+from diffusiondrive_tpu.ops.hungarian import (
+    batched_linear_sum_assignment,
+    linear_sum_assignment,
+)
+
+
+def _opt_cost(c):
+    ri, rc = scipy_lsa(c)
+    return c[ri, rc].sum()
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 30])
+def test_matches_scipy_random(n):
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        c = rng.uniform(size=(n, n)).astype(np.float32)
+        col = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+        assert sorted(col.tolist()) == list(range(n)), col  # a permutation
+        np.testing.assert_allclose(c[np.arange(n), col].sum(), _opt_cost(c), atol=1e-4)
+
+
+def test_ties_and_structure():
+    # all-equal costs: any permutation is optimal, must still be a permutation
+    c = np.ones((6, 6), np.float32)
+    col = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+    assert sorted(col.tolist()) == list(range(6))
+    # diagonal-dominant: identity is uniquely optimal
+    c = np.full((5, 5), 10.0, np.float32) - 9.0 * np.eye(5, dtype=np.float32)
+    col = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+    np.testing.assert_array_equal(col, np.arange(5))
+    # negative costs
+    rng = np.random.default_rng(3)
+    c = rng.normal(size=(12, 12)).astype(np.float32)
+    col = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+    np.testing.assert_allclose(c[np.arange(12), col].sum(), _opt_cost(c), atol=1e-4)
+
+
+def test_batched_under_jit():
+    rng = np.random.default_rng(1)
+    costs = rng.uniform(size=(4, 30, 30)).astype(np.float32)
+    cols = np.asarray(jax.jit(batched_linear_sum_assignment)(jnp.asarray(costs)))
+    for c, col in zip(costs, cols):
+        np.testing.assert_allclose(c[np.arange(30), col].sum(), _opt_cost(c), atol=1e-4)

@@ -62,7 +62,7 @@ def city_map():
 
 def test_proximity_queries_at_scale(city_map):
     """Correctness + speed of the query layer the planner hammers."""
-    start = time.perf_counter()
+    start = time.process_time()  # CPU time: wall lies under xdist contention
     for x in np.linspace(0, 1000, 200):
         out = city_map.get_proximal_map_objects((x, 0.0), 100.0,
                                                 [MapLayer.ROADBLOCK, MapLayer.LANE,
@@ -70,8 +70,8 @@ def test_proximity_queries_at_scale(city_map):
         assert out[MapLayer.LANE], f"no lanes near x={x}"
         for lane in out[MapLayer.LANE]:
             assert np.linalg.norm(lane.center - [x, 0.0]) <= 100.0 + lane.radius
-    elapsed = time.perf_counter() - start
-    assert elapsed < 5.0, f"200 proximity queries took {elapsed:.1f}s"
+    elapsed = time.process_time() - start
+    assert elapsed < 5.0, f"200 proximity queries took {elapsed:.1f}s cpu"
 
     token, dist = city_map.get_distance_to_nearest_map_object((125.0, 0.0), MapLayer.LANE)
     assert token == "lane_0_2" and dist == 0.0
@@ -98,14 +98,18 @@ def test_metric_caching_at_city_scale(city_map, tmp_path):
 
     processor = MetricCacheProcessor(str(tmp_path / "cache"))
     start = time.perf_counter()
+    cpu_start = time.process_time()
     written = 0
     for token in tokens:
         scene = loader.get_scene_from_token(token)
         out = processor.compute_metric_cache(scene, city_map)
         written += out is not None
+    cpu_elapsed = time.process_time() - cpu_start
     elapsed = time.perf_counter() - start
     assert written == num_scenes
     print(f"\nmetric caching on 1440-object map: {num_scenes / elapsed:.1f} scenes/s "
-          f"({elapsed:.1f}s total)")
-    # sanity bound so a regression to quadratic scans fails loudly
-    assert num_scenes / elapsed > 1.0, f"{num_scenes / elapsed:.2f} scenes/s is pathological"
+          f"({elapsed:.1f}s wall, {cpu_elapsed:.1f}s cpu)")
+    # sanity bound so a regression to quadratic scans fails loudly; measured in
+    # CPU time — wall time lies under pytest-xdist contention on a 1-core host
+    # (0.64 wall-scenes/s with 4 workers vs 2+ standalone)
+    assert num_scenes / cpu_elapsed > 1.0, f"{num_scenes / cpu_elapsed:.2f} cpu-scenes/s is pathological"
