@@ -98,3 +98,17 @@ def test_runner_batched_model_forward(synthetic_log, tmp_path):
     assert len(rows) == 2
     assert all(r["valid"] for r in rows), rows
     assert all(np.isfinite(r["score"]) for r in rows)
+
+
+def test_initialize_is_idempotent():
+    """The runner calls `agent.initialize()` on every evaluation run; a
+    re-initialize must not rebuild weights (each rebuild re-jits model.init —
+    a fresh jit wrapper whose cache never hits, ~40 s XLA recompile per
+    evaluation measured on v5e)."""
+    from diffusiondrive_tpu.agents.ego_status_mlp_agent import EgoStatusMLPAgent
+
+    agent = EgoStatusMLPAgent(lr=1e-3, hidden_layer_dim=16)
+    agent.initialize()
+    first = agent.variables
+    agent.initialize()
+    assert agent.variables is first
