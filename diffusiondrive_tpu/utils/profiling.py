@@ -68,3 +68,96 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+# --------------------------------------------------------------------------- #
+# Trace analysis: attribute device time to model components.
+# The methodology behind docs/profiling.md, packaged: capture a trace around
+# N launches, join the device timeline's fusion names to the compiled HLO's
+# `op_name` metadata, and bucket by module path.
+# --------------------------------------------------------------------------- #
+
+
+def read_device_events(trace_dir: str) -> Dict[str, Dict[str, float]]:
+    """Per-instruction device time from the newest trace under `trace_dir`.
+
+    Returns {instruction_name: {"dur_us": total, "count": n}}; empty when the
+    platform records no device timeline (e.g. XLA:CPU).
+    """
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return {}
+    with gzip.open(paths[-1]) as f:
+        events = json.load(f)["traceEvents"]
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in e["args"].get("name", "")
+    }
+    out: Dict[str, Dict[str, float]] = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            row = out.setdefault(e["name"], {"dur_us": 0.0, "count": 0})
+            row["dur_us"] += e.get("dur", 0)
+            row["count"] += 1
+    return out
+
+
+def op_names_from_hlo(hlo_text: str) -> Dict[str, str]:
+    """{instruction_name: op_name metadata} from compiled HLO text."""
+    import re
+
+    return {
+        m.group(1): m.group(2)
+        for m in re.finditer(r'%([\w.\-]+) = [^\n]*?op_name="([^"]+)"', hlo_text)
+    }
+
+
+def _bucket(op_name: str, depth: int = 2) -> str:
+    """Module bucket for an op_name like 'jit(f)/Model/backbone/layer1/...'."""
+    parts = [p for p in op_name.split("/") if not p.startswith("jit(")]
+    # drop the flax module-class root (e.g. DiffusionDriveModel) when present
+    if len(parts) > 1 and parts[0][:1].isupper():
+        parts = parts[1:]
+    return "/".join(parts[:depth]) if parts else "(top)"
+
+
+def device_time_by_component(
+    trace_dir: str, hlo_text: str, launches: int = 1, depth: int = 2
+) -> Dict[str, float]:
+    """ms of device time per model component per launch, sorted descending."""
+    events = read_device_events(trace_dir)
+    op_of = op_names_from_hlo(hlo_text)
+    totals: Dict[str, float] = defaultdict(float)
+    for name, row in events.items():
+        if name.startswith("jit_"):  # top-level module event double-counts
+            continue
+        bucket = _bucket(op_of[name], depth) if name in op_of else "(unattributed)"
+        totals[bucket] += row["dur_us"]
+    return {
+        k: v / launches / 1e3
+        for k, v in sorted(totals.items(), key=lambda kv: -kv[1])
+    }
+
+
+def profile_jitted(fn, *args, launches: int = 4, depth: int = 2,
+                   trace_dir: str = "/tmp/jax-trace") -> Dict[str, float]:
+    """Trace `launches` calls of an already-jitted `fn(*args)` and return the
+    per-component device-time table (ms/launch). Forces a device->host fetch
+    after the launches so the trace provably covers them (see bench.py)."""
+    import jax
+    import numpy as np
+
+    fn(*args)  # warm-up / compile outside the trace
+    with trace(trace_dir):
+        out = None
+        for _ in range(launches):
+            out = fn(*args)
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+    hlo = fn.lower(*args).compile().as_text()
+    return device_time_by_component(trace_dir, hlo, launches=launches, depth=depth)
