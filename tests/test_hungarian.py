@@ -53,3 +53,16 @@ def test_batched_under_jit():
     cols = np.asarray(jax.jit(batched_linear_sum_assignment)(jnp.asarray(costs)))
     for c, col in zip(costs, cols):
         np.testing.assert_allclose(c[np.arange(30), col].sum(), _opt_cost(c), atol=1e-4)
+
+
+def test_extreme_magnitudes():
+    # large finite costs must not collide with the internal INF sentinel
+    rng = np.random.default_rng(7)
+    c = (rng.uniform(size=(10, 10)) * 1e9).astype(np.float32)
+    col = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+    assert sorted(col.tolist()) == list(range(10))
+    np.testing.assert_allclose(c[np.arange(10), col].sum(), _opt_cost(c), rtol=1e-6)
+    # mixed tiny/huge
+    c = np.where(np.eye(8, dtype=bool), 1e-6, 1e8).astype(np.float32)
+    col = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+    np.testing.assert_array_equal(col, np.arange(8))
