@@ -118,7 +118,11 @@ def splat_points(
     """Full lidar BEV feature: z-filter + above-plane histogram, clipped and
     normalized (`transfuser_features.py:106-135`). Returns (bins, bins, 1)."""
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+        # Mosaic kernels cannot be auto-partitioned: under a multi-device mesh
+        # (raw-sensor eval forward with the batch sharded over `data`) fall
+        # back to the scatter-add twin, which GSPMD shards fine. shard_map
+        # around the kernel is the follow-up that lifts this on pods.
+        use_pallas = jax.devices()[0].platform == "tpu" and jax.device_count() == 1
     keep = valid & (points[:, 2] < max_height) & (points[:, 2] > split_height)
     ix, iy = _bin_indices(points[:, :2], keep, min_x, max_x, min_y, max_y, bins)
     hist = histogram2d_pallas(ix, iy, bins) if use_pallas else histogram2d_jax(ix, iy, bins)
