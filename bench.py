@@ -35,7 +35,32 @@ def _force_fetch(out) -> None:
         np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast if the device backend is unreachable.
+
+    The TPU tunnel of this dev image can die mid-session, after which ANY
+    backend touch (even `jax.devices()`) hangs forever instead of erroring.
+    Probe in a subprocess with a timeout so the bench emits a parseable
+    failure instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "planner_fps_per_chip", "value": 0.0, "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"device backend unreachable: {type(e).__name__}"},
+        }))
+        raise SystemExit(1)
+
+
 def main() -> None:
+    _probe_backend()
     from __graft_entry__ import entry
 
     forward, (variables, camera, lidar, status) = entry()
