@@ -191,33 +191,21 @@ def _device_time_per_launch(run_once, launches: int = 4) -> float:
     """Seconds of on-device execution per launch of `run_once`, from a
     `jax.profiler` trace (XLA's own device timeline; excludes host dispatch
     and the tunnel RTT). Returns 0.0 if tracing is unsupported."""
-    import glob
-    import gzip
     import shutil
     import tempfile
 
+    from diffusiondrive_tpu.utils.profiling import read_device_events, trace
+
     tracedir = tempfile.mkdtemp(prefix="dd_bench_trace_")
     try:
-        jax.profiler.start_trace(tracedir)
-        for _ in range(launches):
-            run_once()
-        jax.profiler.stop_trace()
-        paths = glob.glob(f"{tracedir}/plugins/profile/*/*.trace.json.gz")
-        if not paths:
-            return 0.0
-        with gzip.open(paths[0]) as f:
-            events = json.load(f)["traceEvents"]
-        device_pids = {
-            e["pid"] for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"
-            and "TPU" in e["args"].get("name", "")
-        }
+        with trace(tracedir):
+            for _ in range(launches):
+                run_once()
         # top-level executable events on the device timeline (XLA modules);
         # per-launch time = total / launches
         total_us = sum(
-            e.get("dur", 0) for e in events
-            if e.get("ph") == "X" and e.get("pid") in device_pids
-            and e["name"].startswith("jit_")
+            row["dur_us"] for name, row in read_device_events(tracedir).items()
+            if name.startswith("jit_")
         )
         return total_us / launches / 1e6
     except Exception:
@@ -288,16 +276,17 @@ def _bench_e2e_eval(num_tokens: int = 512, batch_size: int = 128) -> float:
 
 
 def _bench_e2e_sensors(num_tokens: int = 48, batch_size: int = 16):
-    """(overlapped, serial) scenes/s through `run_pdm_score_evaluation` with
+    """(auto, forced-overlap) scenes/s through `run_pdm_score_evaluation` with
     the FULL sensor path: per token, 8 x 1080p jpeg decodes + pcd parse +
     crop/stitch/resize + BEV histogram on host, then the production
     DiffusionDrive forward (2-step truncated DDIM) and batched simulate+score
     on device — the reference's 45-FPS measurement condition (feature
-    building included, `run_pdm_score.py:82-87`). The two timings measure
-    the runner's IO/compute double-buffer against strictly serial batches;
-    on this 1-CPU bench host the overlap *loses* (the prefetch thread steals
-    time from the host-bound main loop), which is why the runner's
-    `overlap_io` defaults to auto (on only when a spare core exists).
+    building included, `run_pdm_score.py:82-87`). The headline number runs
+    the production auto mode; the second forces the IO/compute double-buffer
+    on. On this 1-CPU bench host auto == serial and forced overlap *loses*
+    (the prefetch thread steals time from the host-bound main loop), which
+    is why the runner's `overlap_io` defaults to auto (on only when a spare
+    core exists); on a multi-core host the two numbers coincide instead.
 
     Uses the host-preprocess feature builder (the default): through the
     ~50 MB/s tunnel, shipping raw 1080p frames costs ~19 MB/scene vs

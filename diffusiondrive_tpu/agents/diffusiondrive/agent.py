@@ -98,6 +98,8 @@ class DiffusionDriveAgent(AbstractAgent):
         """Shard the planner forward's batch dim over the mesh `data` axis
         (SPMD batched evaluation over ICI, SURVEY §2.10). Callers must pad
         the eval batch to a multiple of `mesh.size` (the runner does)."""
+        if mesh is self._mesh or (self._mesh is not None and mesh == self._mesh):
+            return  # rebuilding jits here would recompile every forward
         self._mesh = mesh
         self._build_forwards()
 

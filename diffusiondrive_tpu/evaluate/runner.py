@@ -101,9 +101,11 @@ def run_pdm_score_evaluation(
     # 6x slower than serial on 1 CPU). One cv2 thread per pool worker and
     # <= 2 workers per CPU is the fast configuration everywhere.
     num_io_threads = max(1, min(num_io_threads, 2 * (os.cpu_count() or 1)))
+    cv2_threads_before = None
     try:
         import cv2
 
+        cv2_threads_before = cv2.getNumThreads()
         cv2.setNumThreads(1)
     except ImportError:
         pass
@@ -113,115 +115,120 @@ def run_pdm_score_evaluation(
     # inner pool.map holding all workers)
     prefetcher = ThreadPoolExecutor(max_workers=1)
 
-    def load_one(token: str):
-        """Host-side IO + preprocessing for one token; exceptions become
-        sentinel rows instead of killing the batch."""
-        try:
-            return _load_one_inner(token)
-        except Exception:  # noqa: BLE001 — per-token quarantine
-            logger.exception("Token %s failed during IO/preprocessing.", token)
-            return token, None, None, None
-
-    def _load_one_inner(token: str):
-        cache = metric_cache_loader.get_from_token(token)
-        if agent.requires_scene:
-            scene = scene_loader.get_scene_from_token(token)
-            return token, cache, scene.get_agent_input(), scene
-        agent_input = scene_loader.get_agent_input_from_token(token)
-        if has_builders:
-            features = {}
-            for builder in feature_builders:
-                features.update(builder.compute_features(agent_input))
-            return token, cache, features, None
-        return token, cache, agent_input, None
-
-    def load_batch(batch_tokens: List[str]):
-        return list(pool.map(load_one, batch_tokens))
-
-    batches = [tokens[s : s + batch_size] for s in range(0, len(tokens), batch_size)]
-    pending = prefetcher.submit(load_batch, batches[0]) if batches else None
-
-    for batch_idx, batch_tokens in enumerate(batches):
-        if pending is None:  # overlap_io=False: load only when the device is idle
-            pending = prefetcher.submit(load_batch, batch_tokens)
-        loaded = pending.result()
-        # kick off the next batch's sensor IO before touching the device:
-        # host threads decode jpeg/pcd while the TPU runs this batch
-        # (overlap_io=False is the serial baseline the bench compares against)
-        pending = (
-            prefetcher.submit(load_batch, batches[batch_idx + 1])
-            if overlap_io and batch_idx + 1 < len(batches)
-            else None
-        )
-
-        valid_items, trajectories = [], []
-        for token, cache, payload, scene in loaded:
-            if cache is None:
-                rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
-                continue
+    try:
+        def load_one(token: str):
+            """Host-side IO + preprocessing for one token; exceptions become
+            sentinel rows instead of killing the batch."""
             try:
-                if has_builders:
-                    # stacked below; defer forward to the batched call
-                    valid_items.append((token, cache, payload))
-                else:
-                    if agent.requires_scene:
-                        traj = agent.compute_trajectory(payload, scene)
-                    else:
-                        traj = agent.compute_trajectory(payload)
-                    valid_items.append((token, cache, None))
-                    trajectories.append(traj)
+                return _load_one_inner(token)
             except Exception:  # noqa: BLE001 — per-token quarantine
-                logger.exception("Token %s failed during input/forward.", token)
-                rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
+                logger.exception("Token %s failed during IO/preprocessing.", token)
+                return token, None, None, None
 
-        if has_builders and valid_items:
-            # one batched device forward; pad partial batches to the full
-            # batch size so every forward hits the same compiled program
-            stacked = {
-                k: np.stack([item[2][k] for item in valid_items])
-                for k in valid_items[0][2].keys()
-            }
-            n = len(valid_items)
-            if n < batch_size:
-                stacked = {
-                    k: np.concatenate([v, np.repeat(v[-1:], batch_size - n, axis=0)])
-                    for k, v in stacked.items()
-                }
-            predictions = agent.forward(stacked)
-            poses = np.asarray(predictions["trajectory"], np.float32)[:n]
-            trajectories = [Trajectory(p) for p in poses]
+        def _load_one_inner(token: str):
+            cache = metric_cache_loader.get_from_token(token)
+            if agent.requires_scene:
+                scene = scene_loader.get_scene_from_token(token)
+                return token, cache, scene.get_agent_input(), scene
+            agent_input = scene_loader.get_agent_input_from_token(token)
+            if has_builders:
+                features = {}
+                for builder in feature_builders:
+                    features.update(builder.compute_features(agent_input))
+                return token, cache, features, None
+            return token, cache, agent_input, None
 
-        if not valid_items:
-            continue
+        def load_batch(batch_tokens: List[str]):
+            return list(pool.map(load_one, batch_tokens))
 
-        try:
-            # pad to the fixed batch size so scoring reuses one compiled shape
-            caches = [item[1] for item in valid_items]
-            trajs = list(trajectories)
-            n_valid = len(caches)
-            while len(caches) < batch_size:
-                caches.append(caches[-1])
-                trajs.append(trajs[-1])
-            results = batched_pdm_score(caches, trajs, simulator, scorer_config,
-                                        mesh=mesh)[:n_valid]
-        except Exception:
-            logger.exception("Batched scoring failed; falling back to per-token.")
-            results = []
-            for (token, cache, _), traj in zip(valid_items, trajectories):
+        batches = [tokens[s : s + batch_size] for s in range(0, len(tokens), batch_size)]
+        pending = prefetcher.submit(load_batch, batches[0]) if batches else None
+
+        for batch_idx, batch_tokens in enumerate(batches):
+            if pending is None:  # overlap_io=False: load only when the device is idle
+                pending = prefetcher.submit(load_batch, batch_tokens)
+            loaded = pending.result()
+            # kick off the next batch's sensor IO before touching the device:
+            # host threads decode jpeg/pcd while the TPU runs this batch
+            # (overlap_io=False is the serial baseline the bench compares against)
+            pending = (
+                prefetcher.submit(load_batch, batches[batch_idx + 1])
+                if overlap_io and batch_idx + 1 < len(batches)
+                else None
+            )
+
+            valid_items, trajectories = [], []
+            for token, cache, payload, scene in loaded:
+                if cache is None:
+                    rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
+                    continue
                 try:
-                    results.append(batched_pdm_score([cache], [traj], simulator, scorer_config)[0])
-                except Exception:
-                    logger.exception("Token %s failed during scoring.", token)
-                    results.append(None)
+                    if has_builders:
+                        # stacked below; defer forward to the batched call
+                        valid_items.append((token, cache, payload))
+                    else:
+                        if agent.requires_scene:
+                            traj = agent.compute_trajectory(payload, scene)
+                        else:
+                            traj = agent.compute_trajectory(payload)
+                        valid_items.append((token, cache, None))
+                        trajectories.append(traj)
+                except Exception:  # noqa: BLE001 — per-token quarantine
+                    logger.exception("Token %s failed during input/forward.", token)
+                    rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
 
-        for (token, _, _), res in zip(valid_items, results):
-            if res is None:
-                rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
-            else:
-                rows.append({"token": token, "valid": True, **_result_to_row(res)})
+            if has_builders and valid_items:
+                # one batched device forward; pad partial batches to the full
+                # batch size so every forward hits the same compiled program
+                stacked = {
+                    k: np.stack([item[2][k] for item in valid_items])
+                    for k in valid_items[0][2].keys()
+                }
+                n = len(valid_items)
+                if n < batch_size:
+                    stacked = {
+                        k: np.concatenate([v, np.repeat(v[-1:], batch_size - n, axis=0)])
+                        for k, v in stacked.items()
+                    }
+                predictions = agent.forward(stacked)
+                poses = np.asarray(predictions["trajectory"], np.float32)[:n]
+                trajectories = [Trajectory(p) for p in poses]
 
-    pool.shutdown()
-    prefetcher.shutdown()
+            if not valid_items:
+                continue
+
+            try:
+                # pad to the fixed batch size so scoring reuses one compiled shape
+                caches = [item[1] for item in valid_items]
+                trajs = list(trajectories)
+                n_valid = len(caches)
+                while len(caches) < batch_size:
+                    caches.append(caches[-1])
+                    trajs.append(trajs[-1])
+                results = batched_pdm_score(caches, trajs, simulator, scorer_config,
+                                            mesh=mesh)[:n_valid]
+            except Exception:
+                logger.exception("Batched scoring failed; falling back to per-token.")
+                results = []
+                for (token, cache, _), traj in zip(valid_items, trajectories):
+                    try:
+                        results.append(batched_pdm_score([cache], [traj], simulator, scorer_config)[0])
+                    except Exception:
+                        logger.exception("Token %s failed during scoring.", token)
+                        results.append(None)
+
+            for (token, _, _), res in zip(valid_items, results):
+                if res is None:
+                    rows.append({"token": token, "valid": False, **{c: np.nan for c in SUB_SCORE_COLUMNS}})
+                else:
+                    rows.append({"token": token, "valid": True, **_result_to_row(res)})
+    finally:
+        pool.shutdown()
+        prefetcher.shutdown()
+        if cv2_threads_before is not None:
+            import cv2
+
+            cv2.setNumThreads(cv2_threads_before)
     return rows
 
 

@@ -72,10 +72,17 @@ class _WKBReader:
         self.off += 1
         (raw_type,) = struct.unpack_from(order + "I", self.buf, self.off)
         self.off += 4
-        if raw_type & 0x20000000:  # EWKB SRID flag (not in spec GPKG, tolerated)
-            self.off += 4
-        base = raw_type % 1000
-        ndim = 2 + (1 if raw_type // 1000 in (1, 3) else 0) + (1 if raw_type // 1000 in (2, 3) else 0)
+        if raw_type & 0xE0000000:
+            # EWKB encoding (not in spec GPKG, tolerated): Z/M/SRID as flag
+            # bits instead of the ISO +1000/+2000 type offsets
+            if raw_type & 0x20000000:  # SRID present
+                self.off += 4
+            base = raw_type & 0x0FFFFFFF
+            ndim = 2 + bool(raw_type & 0x80000000) + bool(raw_type & 0x40000000)
+        else:
+            base = raw_type % 1000
+            ndim = (2 + (1 if raw_type // 1000 in (1, 3) else 0)
+                    + (1 if raw_type // 1000 in (2, 3) else 0))
 
         if base == _POINT:
             return Geometry("Point", [self._points(order, 1, ndim)])
@@ -119,7 +126,11 @@ def parse_gpkg_geometry(blob: Optional[bytes]) -> Optional[Geometry]:
     if blob is None or len(blob) < 8 or blob[:2] != b"GP":
         return None
     flags = blob[3]
-    if flags & 0x20:  # empty-geometry flag
+    if flags & 0x20:
+        # bit 5 = ExtendedGeoPackageBinary: extension-specific payload, not
+        # plain WKB — refuse loudly instead of mis-parsing
+        raise ValueError("ExtendedGeoPackageBinary blobs are not supported")
+    if flags & 0x10:  # bit 4 = empty-geometry flag
         return None
     envelope_doubles = _ENVELOPE_DOUBLES.get((flags >> 1) & 0x07)
     if envelope_doubles is None:

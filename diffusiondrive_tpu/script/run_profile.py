@@ -51,7 +51,6 @@ def main() -> None:
             create_train_state,
             make_train_step,
             replicate_state,
-            shard_train_step,
         )
 
         model = DiffusionDriveModel(config, dtype=jnp.bfloat16)
@@ -68,12 +67,13 @@ def main() -> None:
         mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
         state, tx = create_train_state(model, jax.random.PRNGKey(0), batch, OptimizerConfig())
         state = replicate_state(state, mesh)
-        step = shard_train_step(make_train_step(model, config, tx), mesh)
         batch_dev = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
         key = jax.random.PRNGKey(1)
 
-        # profile_jitted re-calls fn with the SAME args; donation would
-        # invalidate state, so wrap with a fresh jit without donation
+        # profile_jitted re-calls fn with the SAME args, so profile a
+        # non-donating jit of the step (donation would invalidate `state`
+        # after the first launch; the compute being measured is identical —
+        # `shard_train_step` only adds shardings/donation on top)
         step_nodonate = jax.jit(make_train_step(model, config, tx))
         table = profile_jitted(step_nodonate, state, batch_dev, key,
                                launches=args.launches, depth=args.depth,

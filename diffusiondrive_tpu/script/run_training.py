@@ -48,11 +48,13 @@ def main() -> None:
     # precision -> model compute dtype (params/optimizer stay fp32; parity:
     # the reference's `precision: 16-mixed`, `default_training.yaml:43`)
     precision = str(cfg.get("precision", "bf16-mixed"))
+    dtype_of = {"bf16-mixed": "bfloat16", "16-mixed": "bfloat16",
+                "fp32": "float32", "32": "float32", "float32": "float32"}
+    if precision not in dtype_of:
+        raise ValueError(
+            f"unknown precision {precision!r}; expected one of {sorted(dtype_of)}")
     if "diffusion" in cfg["agent"]["name"] or "transfuser" in cfg["agent"]["name"]:
-        cfg["agent"].setdefault(
-            "dtype",
-            {"bf16-mixed": "bfloat16", "fp32": "float32", "32": "float32"}.get(precision, "bfloat16"),
-        )
+        cfg["agent"].setdefault("dtype", dtype_of[precision])
     agent = agent_from_config(cfg["agent"])
     feature_builders = agent.get_feature_builders()
     target_builders = agent.get_target_builders()

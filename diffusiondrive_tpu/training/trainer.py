@@ -116,6 +116,18 @@ class Trainer:
     ) -> TrainState:
         rng = jax.random.PRNGKey(self.seed + 1)
         global_step = 0
+        try:
+            return self._fit(train_batches, num_epochs, val_batches, log_every,
+                             checkpoint_every_epochs, validate_every_epochs, rng,
+                             global_step)
+        finally:
+            if self._metrics_fp is not None:
+                self._metrics_fp.close()
+                self._metrics_fp = None
+
+    def _fit(self, train_batches, num_epochs, val_batches, log_every,
+             checkpoint_every_epochs, validate_every_epochs, rng,
+             global_step) -> TrainState:
         with self.mesh:
             for epoch in range(num_epochs):
                 self._hook("on_epoch_start", "train", epoch)
@@ -165,9 +177,6 @@ class Trainer:
                     self._hook("on_epoch_end", "val", epoch)
                 if self.output_dir and (epoch + 1) % checkpoint_every_epochs == 0:
                     self.save_checkpoint(epoch)
-        if self._metrics_fp is not None:
-            self._metrics_fp.close()
-            self._metrics_fp = None
         return self.state
 
     def _validate(self, batches: Iterable[Dict[str, np.ndarray]], epoch: int,

@@ -14,6 +14,7 @@ import sqlite3
 import struct
 
 import numpy as np
+import pytest
 
 from diffusiondrive_tpu.evaluate.observation import MapLayer
 from diffusiondrive_tpu.planning.convert_maps import (
@@ -176,7 +177,7 @@ def gp_blob(wkb, envelope_xy=None, empty=False):
         flags |= 0x02  # envelope indicator 1: [minx maxx miny maxy]
         body = struct.pack("<4d", *envelope_xy)
     if empty:
-        flags |= 0x20
+        flags |= 0x10  # spec bit 4; bit 5 (0x20) is ExtendedGeoPackageBinary
     return b"GP" + bytes([0, flags]) + struct.pack("<i", 4326) + body + wkb
 
 
@@ -260,6 +261,18 @@ def test_wkb_parser_primitives():
     # null / empty
     assert parse_gpkg_geometry(None) is None
     assert parse_gpkg_geometry(gp_blob(b"", empty=True)) is None
+    # ExtendedGeoPackageBinary (flags bit 5): not WKB — must refuse loudly
+    ext = bytearray(gp_blob(wkb_polygon([sq])))
+    ext[3] |= 0x20
+    with pytest.raises(ValueError, match="Extended"):
+        parse_gpkg_geometry(bytes(ext))
+    # EWKB type encoding: SRID/Z as flag bits instead of ISO +1000 offsets
+    pts = np.column_stack([sq, np.zeros(len(sq))])  # with Z column
+    body = struct.pack("<BI", 1, 0x20000000 | 0x80000000 | 3)  # SRID|Z|polygon
+    body += struct.pack("<I", 4326)  # SRID payload
+    body += struct.pack("<I", 1) + struct.pack("<I", len(pts))
+    body += pts.astype("<f8").tobytes()
+    np.testing.assert_allclose(exterior_ring(parse_gpkg_geometry(gp_blob(body))), sq)
 
 
 def test_rows_from_real_gpkg(tmp_path):
