@@ -82,10 +82,16 @@ def fit_velocity_and_acceleration(
     keep[:, 0] = True
     A = A * jnp.asarray(keep, dtype=A.dtype)[None]
 
-    # Jerk regularization: R = [0 | banded_difference(M-2)] of shape (M-2, M)
+    # Jerk regularizer R = [0 | banded] of shape (M-2, M), replicated EXACTLY
+    # from the reference (`batch_lqr_utils.py:_make_banded_difference_matrix`):
+    # the second assignment there OVERWRITES the +1 band it just set, so every
+    # row but the last penalizes -a_i directly and only the last row is a true
+    # difference a_{M-2} - a_{M-3}. A textbook difference matrix here shifts
+    # fitted velocities by ~4% (tests/test_reference_differential.py caught
+    # it); PDMS parity requires the shipped numerics, not the docstring's.
     banded = np.zeros((M - 2, M - 1))
     banded[:, 1:] = np.eye(M - 2)
-    banded[:, :-1] -= np.eye(M - 2)
+    banded[:, :-1] = -np.eye(M - 2)
     R = jnp.asarray(np.concatenate([np.zeros((M - 2, 1)), banded], axis=1), dtype=A.dtype)
 
     AtA = jnp.einsum("bij,bik->bjk", A, A) + jerk_penalty * (R.T @ R)[None]

@@ -27,7 +27,7 @@ def savgol_matrix(
     # filter each basis vector (columns) along axis 0
     M = savgol_filter(eye, window_length=window_length, polyorder=poly_order,
                       deriv=deriv, delta=delta, axis=0)
-    return M.astype(np.float32)
+    return M  # float64; cast to the input dtype at the use site
 
 
 def savgol_filter_jax(
@@ -35,5 +35,7 @@ def savgol_filter_jax(
 ) -> jnp.ndarray:
     """Apply savgol along the last axis of `y` (any leading batch dims)."""
     T = y.shape[-1]
-    M = jnp.asarray(savgol_matrix(T, min(window_length, T), poly_order, deriv, delta))
-    return jnp.einsum("...t,st->...s", y, M)
+    y = jnp.asarray(y)
+    dtype = y.dtype if jnp.issubdtype(y.dtype, jnp.floating) else jnp.float32
+    M = jnp.asarray(savgol_matrix(T, min(window_length, T), poly_order, deriv, delta), dtype=dtype)
+    return jnp.einsum("...t,st->...s", y.astype(dtype), M)
