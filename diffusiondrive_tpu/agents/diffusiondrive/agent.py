@@ -74,7 +74,7 @@ class DiffusionDriveAgent(AbstractAgent):
 
             camera = stitch_cameras(cam_l0, cam_f0, cam_r0,
                                     self._config.camera_height, self._config.camera_width)
-            lidar = lidar_bev(points, valid, self._config)
+            lidar = lidar_bev(points, valid, self._config, mesh=self._mesh)
             return _forward(variables, camera, lidar, status)
 
         if self._mesh is None:

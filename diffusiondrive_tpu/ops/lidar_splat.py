@@ -118,11 +118,13 @@ def splat_points(
     """Full lidar BEV feature: z-filter + above-plane histogram, clipped and
     normalized (`transfuser_features.py:106-135`). Returns (bins, bins, 1)."""
     if use_pallas is None:
-        # Mosaic kernels cannot be auto-partitioned: under a multi-device mesh
-        # (raw-sensor eval forward with the batch sharded over `data`) fall
-        # back to the scatter-add twin, which GSPMD shards fine. shard_map
-        # around the kernel is the follow-up that lifts this on pods.
-        use_pallas = jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+        # Mosaic kernels cannot be auto-partitioned by GSPMD; callers whose
+        # program is sharded must wrap the splat in shard_map (see
+        # `ops/preprocessing.py:lidar_bev`, which does exactly that when given
+        # a mesh) or pass use_pallas=False explicitly. The default only keys
+        # on the platform so single-device programs on multi-chip hosts still
+        # get the fast kernel.
+        use_pallas = jax.default_backend() == "tpu"
     keep = valid & (points[:, 2] < max_height) & (points[:, 2] > split_height)
     ix, iy = _bin_indices(points[:, :2], keep, min_x, max_x, min_y, max_y, bins)
     hist = histogram2d_pallas(ix, iy, bins) if use_pallas else histogram2d_jax(ix, iy, bins)

@@ -42,8 +42,15 @@ def stitch_cameras(
     return resized / 255.0
 
 
-def lidar_bev(points: jnp.ndarray, valid: jnp.ndarray, config: TransfuserConfig = None) -> jnp.ndarray:
-    """(B, N, 3) padded points + (B, N) mask -> (B, 256, 256, 1) BEV feature."""
+def lidar_bev(
+    points: jnp.ndarray, valid: jnp.ndarray, config: TransfuserConfig = None, mesh=None
+) -> jnp.ndarray:
+    """(B, N, 3) padded points + (B, N) mask -> (B, 256, 256, 1) BEV feature.
+
+    With a multi-device `mesh`, the splat runs inside `shard_map` over the
+    `data` axis so the Pallas kernel executes per-device on its local batch
+    shard (GSPMD cannot auto-partition Mosaic kernels; without this the
+    sharded eval path would silently fall back to the slow scatter-add)."""
     config = config or TransfuserConfig()
 
     def one(p, v):
@@ -57,7 +64,17 @@ def lidar_bev(points: jnp.ndarray, valid: jnp.ndarray, config: TransfuserConfig 
             hist_max_per_pixel=config.hist_max_per_pixel,
         )
 
-    return jax.vmap(one)(points, valid)
+    if mesh is None or mesh.size == 1:
+        return jax.vmap(one)(points, valid)
+
+    from jax.sharding import PartitionSpec as P
+
+    from diffusiondrive_tpu.parallel.mesh import DATA_AXIS
+
+    spec = P(DATA_AXIS)
+    return jax.shard_map(
+        jax.vmap(one), mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )(points, valid)
 
 
 def pad_point_cloud(lidar_pc: np.ndarray, max_points: int = 131072) -> Tuple[np.ndarray, np.ndarray]:

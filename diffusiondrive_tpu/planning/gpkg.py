@@ -179,7 +179,9 @@ def geometry_columns(conn: sqlite3.Connection) -> Dict[str, str]:
 
 def read_layer(conn: sqlite3.Connection, table: str, geom_col: str) -> Iterator[Tuple[dict, Optional[Geometry]]]:
     """Yield (attribute row dict, parsed geometry) for every feature."""
-    cur = conn.execute(f'SELECT * FROM "{table}"')
+    # The table name comes from gpkg_geometry_columns inside an untrusted
+    # file; escape embedded quotes so it cannot break out of the identifier.
+    cur = conn.execute('SELECT * FROM "{}"'.format(table.replace('"', '""')))
     cols = [d[0] for d in cur.description]
     gi = cols.index(geom_col)
     for rec in cur:

@@ -63,7 +63,13 @@ def main() -> None:
 
         from diffusiondrive_tpu.parallel.mesh import create_mesh
 
-        devices = jax.devices() if n_mesh < 0 else jax.devices()[:n_mesh]
+        available = len(jax.devices())
+        if n_mesh < -1 or n_mesh > available:
+            raise SystemExit(
+                f"--mesh-devices must be -1 (all) or 1..{available} "
+                f"(have {available} devices), got {n_mesh}"
+            )
+        devices = jax.devices() if n_mesh == -1 else jax.devices()[:n_mesh]
         mesh = create_mesh(devices)
     rows = run_pdm_score_evaluation(
         agent,

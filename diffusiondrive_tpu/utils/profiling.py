@@ -147,17 +147,18 @@ def device_time_by_component(
 def profile_jitted(fn, *args, launches: int = 4, depth: int = 2,
                    trace_dir: str = "/tmp/jax-trace") -> Dict[str, float]:
     """Trace `launches` calls of an already-jitted `fn(*args)` and return the
-    per-component device-time table (ms/launch). Forces a device->host fetch
-    after the launches so the trace provably covers them (see bench.py)."""
+    per-component device-time table (ms/launch). Fetches EVERY launch's output
+    inside the trace: through the tunnel, un-fetched independent executions
+    can be elided outright (bench.py's lesson), which would silently divide
+    the trace by launches that never ran."""
     import jax
     import numpy as np
 
     fn(*args)  # warm-up / compile outside the trace
     with trace(trace_dir):
-        out = None
         for _ in range(launches):
             out = fn(*args)
-        for leaf in jax.tree_util.tree_leaves(out):
-            np.asarray(jax.device_get(leaf.ravel()[:1]))
+            for leaf in jax.tree_util.tree_leaves(out):
+                np.asarray(jax.device_get(leaf.ravel()[:1]))
     hlo = fn.lower(*args).compile().as_text()
     return device_time_by_component(trace_dir, hlo, launches=launches, depth=depth)

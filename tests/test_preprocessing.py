@@ -84,6 +84,24 @@ def test_batched_lidar_bev():
     assert out.max() <= 1.0 and out.sum() > 0
 
 
+def test_lidar_bev_sharded_matches_unsharded():
+    """shard_map'd splat over an 8-device mesh == single-program numerics."""
+    import jax
+
+    from diffusiondrive_tpu.parallel.mesh import create_mesh, shard_batch
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-30, 30, size=(8, 4096, 3)).astype(np.float32)
+    pts[..., 2] = 1.0
+    valid = rng.uniform(size=(8, 4096)) > 0.1
+    want = np.asarray(lidar_bev(jnp.asarray(pts), jnp.asarray(valid)))
+
+    mesh = create_mesh(jax.devices()[:8])
+    sharded = shard_batch({"p": pts, "v": valid}, mesh)
+    got = np.asarray(lidar_bev(sharded["p"], sharded["v"], mesh=mesh))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_raw_builder_matches_host_builder(synthetic_log):
     """Device preprocessing path reproduces the host feature builder."""
     from diffusiondrive_tpu.agents.diffusiondrive.features import (
