@@ -101,6 +101,11 @@ def read_device_events(trace_dir: str) -> Dict[str, Dict[str, float]]:
     out: Dict[str, Dict[str, float]] = {}
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in device_pids:
+            # purely numeric names are launch/run-id marker spans, not HLO
+            # instructions; they cover device-idle gaps (e.g. host fetches
+            # through the tunnel) and would swamp the table
+            if e["name"].isdigit():
+                continue
             row = out.setdefault(e["name"], {"dur_us": 0.0, "count": 0})
             row["dur_us"] += e.get("dur", 0)
             row["count"] += 1
@@ -147,10 +152,12 @@ def device_time_by_component(
 def profile_jitted(fn, *args, launches: int = 4, depth: int = 2,
                    trace_dir: str = "/tmp/jax-trace") -> Dict[str, float]:
     """Trace `launches` calls of an already-jitted `fn(*args)` and return the
-    per-component device-time table (ms/launch). Fetches EVERY launch's output
-    inside the trace: through the tunnel, un-fetched independent executions
-    can be elided outright (bench.py's lesson), which would silently divide
-    the trace by launches that never ran."""
+    per-component device-time table (ms/launch). Fetches ONE leaf of EVERY
+    launch's output inside the trace: through the tunnel, un-fetched
+    independent executions can be elided outright (bench.py's lesson), and a
+    single-element fetch forces the whole program that produced it — while
+    fetching *all* leaves would cost one tunnel round-trip per leaf (~45 s of
+    device idle per launch on the ~2,900-leaf train state)."""
     import jax
     import numpy as np
 
@@ -158,7 +165,7 @@ def profile_jitted(fn, *args, launches: int = 4, depth: int = 2,
     with trace(trace_dir):
         for _ in range(launches):
             out = fn(*args)
-            for leaf in jax.tree_util.tree_leaves(out):
-                np.asarray(jax.device_get(leaf.ravel()[:1]))
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
     hlo = fn.lower(*args).compile().as_text()
     return device_time_by_component(trace_dir, hlo, launches=launches, depth=depth)

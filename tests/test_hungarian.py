@@ -55,6 +55,57 @@ def test_batched_under_jit():
         np.testing.assert_allclose(c[np.arange(30), col].sum(), _opt_cost(c), atol=1e-4)
 
 
+@pytest.mark.parametrize("B,n", [(8, 30), (3, 12), (16, 30), (1, 1)])
+def test_pallas_kernel_matches_scipy(B, n):
+    """The batch-in-sublanes Pallas kernel (interpret mode off-TPU)."""
+    from diffusiondrive_tpu.ops.hungarian import _lsa_pallas
+
+    rng = np.random.default_rng(42)
+    costs = rng.normal(size=(B, n, n)).astype(np.float32)
+    cols = np.asarray(_lsa_pallas(jnp.asarray(costs), interpret=True))
+    for c, col in zip(costs, cols):
+        assert sorted(col.tolist()) == list(range(n))
+        np.testing.assert_allclose(c[np.arange(n), col].sum(), _opt_cost(c), atol=1e-4)
+
+
+def test_pallas_kernel_ties_and_magnitudes():
+    from diffusiondrive_tpu.ops.hungarian import _lsa_pallas
+
+    c = np.ones((2, 6, 6), np.float32)  # ties: any permutation optimal
+    cols = np.asarray(_lsa_pallas(jnp.asarray(c), interpret=True))
+    for col in cols:
+        assert sorted(col.tolist()) == list(range(6))
+    c = (np.random.default_rng(7).uniform(size=(2, 10, 10)) * 1e9).astype(np.float32)
+    cols = np.asarray(_lsa_pallas(jnp.asarray(c), interpret=True))
+    for ci, col in zip(c, cols):
+        np.testing.assert_allclose(ci[np.arange(10), col].sum(), _opt_cost(ci), rtol=1e-6)
+
+
+def test_batched_sharded_over_mesh():
+    """custom_partitioning: each shard solves only its rows; result equals the
+    unsharded solve (conftest provides the 8-device CPU mesh)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(devices), ("data",))
+    rng = np.random.default_rng(5)
+    B, n = 2 * len(devices), 30
+    costs = rng.normal(size=(B, n, n)).astype(np.float32)
+    sharded = jax.device_put(jnp.asarray(costs), NamedSharding(mesh, P("data", None, None)))
+    f = jax.jit(
+        batched_linear_sum_assignment,
+        in_shardings=NamedSharding(mesh, P("data", None, None)),
+        out_shardings=NamedSharding(mesh, P("data", None)),
+    )
+    cols = np.asarray(f(sharded))
+    plain = np.asarray(jax.jit(batched_linear_sum_assignment)(jnp.asarray(costs)))
+    np.testing.assert_array_equal(cols, plain)
+    for c, col in zip(costs, cols):
+        np.testing.assert_allclose(c[np.arange(n), col].sum(), _opt_cost(c), atol=1e-4)
+
+
 def test_extreme_magnitudes():
     # large finite costs must not collide with the internal INF sentinel
     rng = np.random.default_rng(7)
