@@ -135,12 +135,13 @@ class TransfuserBackbone(nn.Module):
         img = ResNetStem(dtype=self.dtype, name="image_encoder_stem")(camera, train=train)
         lid = ResNetStem(dtype=self.dtype, name="lidar_encoder_stem")(lidar, train=train)
 
+        fused_mode = getattr(cfg, "fused_conv_mode", "auto")
         for i in range(4):
             img = ResNetStage(img_widths[i], img_sizes[i], stride=1 if i == 0 else 2,
-                              block=img_block, dtype=self.dtype,
+                              block=img_block, dtype=self.dtype, fused_mode=fused_mode,
                               name=f"image_encoder_layer{i + 1}")(img, train=train)
             lid = ResNetStage(lid_widths[i], lid_sizes[i], stride=1 if i == 0 else 2,
-                              block=lid_block, dtype=self.dtype,
+                              block=lid_block, dtype=self.dtype, fused_mode=fused_mode,
                               name=f"lidar_encoder_layer{i + 1}")(lid, train=train)
 
             img_tokens = adaptive_avg_pool2d(img, (cfg.img_vert_anchors, cfg.img_horz_anchors))

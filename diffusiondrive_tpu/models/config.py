@@ -23,6 +23,9 @@ class TransfuserConfig:
 
     image_architecture: str = "resnet34"
     lidar_architecture: str = "resnet34"
+    # Fused Pallas eval path for the 64ch 3x3 convs of layer1
+    # ("auto" = on for TPU; "off"; "interpret" = CPU kernel tests)
+    fused_conv_mode: str = "auto"
     # Optional local paths for pretrained weights / anchors (None => random init
     # / built-in default anchors).
     bkb_path: Optional[str] = None

@@ -14,28 +14,97 @@ from __future__ import annotations
 from typing import Any, List, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from diffusiondrive_tpu.ops.conv_fused import (
+    bn_eval_affine,
+    fused_conv3x3_packed,
+    maxpool3x3s2,
+    pack_pairs,
+    supports_fused_conv3x3,
+    unpack_pairs,
+)
 
 _BN = dict(momentum=0.9, epsilon=1e-5)
 
 
+class Conv3x3(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv(features, (3, 3), padding=1,
+    use_bias=False)`` that exposes its kernel (setup-style) so the fused
+    eval path can read it without running the conv."""
+
+    features: int
+    in_features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), self.kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
-    """Two 3x3 convs with identity/downsample residual (torchvision BasicBlock)."""
+    """Two 3x3 convs with identity/downsample residual (torchvision BasicBlock).
+
+    Eval path on TPU: both convs run as one fused Pallas kernel each
+    (`ops/conv_fused.py`) with the eval-mode BatchNorm folded to an exact
+    per-channel affine, the residual add and the ReLU fused in — the 64ch
+    3x3 convs of layer1 otherwise cap at 28% MFU under XLA's conv emitter.
+    `fused_mode`: "auto" (TPU only), "off", or "interpret" (CPU tests).
+    """
 
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
+    fused_mode: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 packed: bool = False) -> jnp.ndarray:
+        """`packed=True`: `x` is width-paired (B,H,W//2,128) and the output
+        stays packed — the fused eval path chains whole stages in that layout
+        (each pack/unpack relayout costs ~as much as half a kernel)."""
+        conv1 = Conv3x3(self.features, 64 if packed else x.shape[-1],
+                        self.stride, dtype=self.dtype, name="conv1")
+        bn1 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="bn1", **_BN)
+        conv2 = Conv3x3(self.features, self.features, dtype=self.dtype, name="conv2")
+        bn2 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="bn2", **_BN)
+
+        fused = packed or (
+            not train
+            and self.fused_mode != "off"
+            and supports_fused_conv3x3(x, self.features, self.stride)
+            and (self.fused_mode == "interpret" or jax.default_backend() == "tpu")
+        )
+        if fused:
+            interp = self.fused_mode == "interpret"
+            s1, b1 = bn_eval_affine(bn1, self.features, self.dtype)
+            s2, b2 = bn_eval_affine(bn2, self.features, self.dtype)
+            x2 = x if packed else pack_pairs(x.astype(self.dtype))
+            y2 = fused_conv3x3_packed(x2, conv1.kernel.astype(self.dtype),
+                                      s1, b1, relu=True, interpret=interp)
+            out2 = fused_conv3x3_packed(y2, conv2.kernel.astype(self.dtype),
+                                        s2, b2, residual2=x2, relu=True,
+                                        interpret=interp)
+            return out2 if packed else unpack_pairs(out2)
+
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1,
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1", **_BN)(y)
+        y = conv1(x)
+        y = bn1(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
-                    name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2", **_BN)(y)
+        y = conv2(y)
+        y = bn2(y)
 
         if residual.shape[-1] != self.features or self.stride != 1:
             residual = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
@@ -96,13 +165,36 @@ class ResNetStage(nn.Module):
     stride: int = 1
     block: str = "basic"  # "basic" | "bottleneck"
     dtype: Any = jnp.float32
+    fused_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        # Fused eval path: when every block of the stage is kernel-eligible
+        # (64ch basic blocks, stride 1 — i.e. layer1), chain the whole stage
+        # in the width-paired layout: one pack/unpack relayout total instead
+        # of two per conv.
+        fused_stage = (
+            self.block == "basic"
+            and not train
+            and self.fused_mode != "off"
+            and self.stride == 1
+            and supports_fused_conv3x3(x, self.features, self.stride)
+            and (self.fused_mode == "interpret" or jax.default_backend() == "tpu")
+        )
+        if fused_stage:
+            x = pack_pairs(x.astype(self.dtype))
         for block_idx in range(self.num_blocks):
-            x = block_cls(self.features, stride=self.stride if block_idx == 0 else 1,
-                          dtype=self.dtype, name=f"block{block_idx}")(x, train=train)
+            stride = self.stride if block_idx == 0 else 1
+            if self.block == "basic":
+                x = BasicBlock(self.features, stride=stride, dtype=self.dtype,
+                               fused_mode=self.fused_mode,
+                               name=f"block{block_idx}")(
+                    x, train=train, packed=fused_stage)
+            else:
+                x = Bottleneck(self.features, stride=stride, dtype=self.dtype,
+                               name=f"block{block_idx}")(x, train=train)
+        if fused_stage:
+            x = unpack_pairs(x)
         return x
 
 
@@ -124,6 +216,7 @@ class ResNetFeatures(nn.Module):
 
     architecture: str = "resnet34"
     dtype: Any = jnp.float32
+    fused_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
@@ -132,6 +225,7 @@ class ResNetFeatures(nn.Module):
         features = []
         for stage_idx, (num_blocks, width) in enumerate(zip(sizes, widths)):
             x = ResNetStage(width, num_blocks, stride=1 if stage_idx == 0 else 2, block=block,
-                            dtype=self.dtype, name=f"layer{stage_idx + 1}")(x, train=train)
+                            dtype=self.dtype, fused_mode=self.fused_mode,
+                            name=f"layer{stage_idx + 1}")(x, train=train)
             features.append(x)
         return features

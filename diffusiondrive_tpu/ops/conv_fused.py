@@ -1,0 +1,256 @@
+"""Fused 3x3/64-channel conv Pallas kernel for the ResNet layer-1 hot path.
+
+Why: 64 output channels fill half the 128 MXU lanes, capping any plain
+im2col formulation at 50% MFU — XLA's conv emitter reaches ~28% on layer1
+(`docs/profiling.md`), making the six 3x3/64ch convs ~17% of the whole
+planner forward. This kernel packs **two adjacent output pixels into one
+128-wide lane row**, lifting the ceiling to 75%:
+
+    A row r = [x[2r-1], x[2r], x[2r+1], x[2r+2]]   (4 px x 64 ch = 768)
+    B (768, 128): even-output taps in lanes 0:64, odd-output in 64:128
+
+and decomposes the matmul into 6 partial (M,128)@(128,128) dots (one per
+(dy, pair-shift)), so every MXU operand is a full native tile. Measured in
+isolation on v5e: 136 us/conv vs 350 us for XLA's conv — ~72% effective MFU.
+
+I/O stays plain NHWC: an XLA-side pad+reshape to the packed layout costs
+more than the kernel itself (~280 us of copies), so the packed+padded
+representation is built once per image in VMEM scratch. Eval-mode BatchNorm
+is an exact per-channel affine, so the kernel also fuses the folded
+scale/bias, the block's residual add, and the ReLU — at eval time an entire
+BasicBlock (`models/resnet.py`) becomes two kernel launches with zero
+XLA-side elementwise passes.
+
+The public entry is wrapped in `custom_partitioning` (batch-dim rule) so the
+sharded batched-eval program (`evaluate/pdm_score.py`) partitions it over
+the mesh `data` axis instead of replicating a Mosaic custom call.
+
+Parity: replaces the layer-1 portion of the timm ResNet-34 forward used by
+`transfuser_backbone.py:24-55`; torch-twin parity is kept by the standard
+(non-fused) path, and the fused path is differential-tested against it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def pack_conv3x3_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,64,64) HWIO -> (768,128). Row block k = dy*2+s holds the two
+    window taps (j = 2s, 2s+1) of the 4-tap padded window; lanes 0:64 serve
+    the even output pixel (taps j=0..2), lanes 64:128 the odd (taps 1..3)."""
+    wb = jnp.zeros((3, 4, 64, 128), w.dtype)
+    wb = wb.at[:, :3, :, :64].set(w)
+    wb = wb.at[:, 1:, :, 64:].set(w)
+    return wb.reshape(3, 2, 128, 128).reshape(768, 128)
+
+
+def _kernel(x_ref, b_ref, sb_ref, r_ref, o_ref, pp_ref, *, h_chunk: int,
+            relu: bool, residual: bool):
+    """One grid step = one image. x_ref/r_ref/o_ref: (1, H, P, 128) — NHWC
+    bit-viewed as width-pairs (P = W//2). pp_ref: (H+2, P+1, 128) scratch in
+    the packed+padded layout pp[r] = (x[2r-1], x[2r])."""
+    H, P = x_ref.shape[1], x_ref.shape[2]
+    f32 = jnp.float32
+
+    # build the packed scratch once per image: one sublane shift + lane mix
+    x2 = x_ref[0]                                             # (H, P, 128)
+    zrow = jnp.zeros((H, 1, 128), x2.dtype)
+    xl = jnp.concatenate([zrow, x2], axis=1)[:, :P + 1, :]    # x2[r-1]
+    xr = jnp.concatenate([x2, zrow], axis=1)                  # x2[r]
+    pp_ref[1:H + 1, :, :] = jnp.concatenate(
+        [xl[:, :, 64:128], xr[:, :, 0:64]], axis=2)
+    pp_ref[0, :, :] = jnp.zeros((P + 1, 128), x2.dtype)
+    pp_ref[H + 1, :, :] = jnp.zeros((P + 1, 128), x2.dtype)
+
+    scale = sb_ref[0:1, :].astype(f32)                        # (1, 128)
+    bias = sb_ref[1:2, :].astype(f32)
+
+    for hb in range(H // h_chunk):
+        acc = None
+        for dy in range(3):
+            rows = pp_ref[pl.ds(hb * h_chunk + dy, h_chunk), :, :]
+            for s in range(2):
+                piece = rows[:, s:s + P, :].reshape(h_chunk * P, 128)
+                bk = b_ref[(dy * 2 + s) * 128:(dy * 2 + s + 1) * 128, :]
+                d = jax.lax.dot_general(piece, bk, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=f32)
+                acc = d if acc is None else acc + d
+        acc = acc * scale + bias
+        if residual:
+            res = r_ref[0, pl.ds(hb * h_chunk, h_chunk), :, :]
+            acc = acc + res.reshape(h_chunk * P, 128).astype(f32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[0, pl.ds(hb * h_chunk, h_chunk), :, :] = (
+            acc.reshape(h_chunk, P, 128).astype(o_ref.dtype))
+
+
+def _pick_h_chunk(h: int) -> int:
+    for c in (16, 8, 4, 2, 1):
+        if h % c == 0:
+            return c
+    return 1
+
+
+def _fused_conv3x3_pallas(x2, bmat, sb, res2, *, relu: bool, residual: bool,
+                          interpret: bool = False):
+    B, H, P, _ = x2.shape
+    # Mosaic kernels only compile for TPU; fall back to interpret mode off-TPU
+    # so the sharded entry point stays executable (and testable) on CPU meshes
+    interpret = interpret or jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        functools.partial(_kernel, h_chunk=_pick_h_chunk(H), relu=relu,
+                          residual=residual),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, P, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((768, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, P, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, P, 128), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, P, 128), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2, P + 1, 128), x2.dtype)],
+        interpret=interpret,
+    )(x2, bmat, sb, res2)
+
+
+@functools.partial(custom_partitioning, static_argnums=(4, 5))
+def _fused_conv3x3_sharded(x2, bmat, sb, res2, relu, residual):
+    return _fused_conv3x3_pallas(x2, bmat, sb, res2, relu=relu, residual=residual)
+
+
+def _batch_axis(arg_infos):
+    spec = getattr(arg_infos[0].sharding, "spec", None)
+    return spec[0] if spec else None
+
+
+def _infer(relu, residual, mesh, arg_infos, result_infos):
+    return NamedSharding(mesh, PartitionSpec(_batch_axis(arg_infos), None, None, None))
+
+
+def _partition(relu, residual, mesh, arg_infos, result_infos):
+    b = _batch_axis(arg_infos)
+    data = PartitionSpec(b, None, None, None)
+    repl2 = PartitionSpec(None, None)
+    arg_sh = (NamedSharding(mesh, data), NamedSharding(mesh, repl2),
+              NamedSharding(mesh, repl2), NamedSharding(mesh, data))
+    fn = functools.partial(_fused_conv3x3_pallas, relu=relu, residual=residual)
+    return mesh, fn, NamedSharding(mesh, data), arg_sh
+
+
+_fused_conv3x3_sharded.def_partition(
+    partition=_partition,
+    infer_sharding_from_operands=_infer,
+    sharding_rule="b h w c, k n, s t, b h w c -> b h w c",
+)
+
+
+def supports_fused_conv3x3(x: jnp.ndarray, features: int, stride: int) -> bool:
+    """Shape/size eligibility for the fused kernel (64ch, 3x3, stride 1)."""
+    if x.ndim != 4 or x.shape[-1] != 64 or features != 64 or stride != 1:
+        return False
+    _, H, W, _ = x.shape
+    return W % 2 == 0 and H >= 1 and W >= 2
+
+
+def pack_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC (B,H,W,64) -> width-paired (B,H,W//2,128).
+
+    On TPU this reshape is a real relayout copy (~70 us on the layer-1
+    activation), NOT a bitcast — the 64-lane layout is tiled differently —
+    so callers chain as many packed convs as possible between one
+    `pack_pairs`/`unpack_pairs` round trip (a whole ResNet stage)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def unpack_pairs(x2: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `pack_pairs`."""
+    B, H, P, C2 = x2.shape
+    return x2.reshape(B, H, P * 2, C2 // 2)
+
+
+def fused_conv3x3_packed(
+    x2: jnp.ndarray,
+    w: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    residual2: Optional[jnp.ndarray] = None,
+    relu: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Width-paired (B,H,P,128) stride-1 pad-1 3x3/64ch conv with optional
+    fused per-channel affine (folded eval-mode BatchNorm), residual add and
+    ReLU. `interpret=True` runs the kernel in interpret mode (CPU tests)."""
+    if scale is None:
+        scale = jnp.ones((64,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((64,), jnp.float32)
+    sb = jnp.stack([jnp.tile(scale.astype(jnp.float32), 2),
+                    jnp.tile(bias.astype(jnp.float32), 2)])  # (2,128) f32
+    has_res = residual2 is not None
+    res2 = residual2 if has_res else x2
+    bmat = pack_conv3x3_weights(w.astype(x2.dtype))
+    if interpret:
+        return _fused_conv3x3_pallas(x2, bmat, sb, res2, relu=relu,
+                                     residual=has_res, interpret=True)
+    return _fused_conv3x3_sharded(x2, bmat, sb, res2, relu, has_res)
+
+
+def fused_conv3x3(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    residual: Optional[jnp.ndarray] = None,
+    relu: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """NHWC wrapper around `fused_conv3x3_packed` (one pack/unpack pair)."""
+    assert supports_fused_conv3x3(x, w.shape[-1], 1)
+    res2 = pack_pairs(residual) if residual is not None else None
+    out = fused_conv3x3_packed(pack_pairs(x), w, scale, bias, res2,
+                               relu=relu, interpret=interpret)
+    return unpack_pairs(out)
+
+
+def bn_eval_affine(bn_apply, channels: int, dtype) -> tuple:
+    """Exact (scale, bias) of an eval-mode normalization layer, extracted by
+    probing it with zeros and ones — eval BatchNorm is per-channel affine, so
+    two probes identify it without touching its parameter tree."""
+    shape = (1, 1, 1, channels)
+    b = bn_apply(jnp.zeros(shape, dtype)).reshape(channels)
+    s = bn_apply(jnp.ones(shape, dtype)).reshape(channels) - b
+    return s, b
+
+
+def maxpool3x3s2(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/stride-2/pad-1 max pool as a 9-way shifted-slice max.
+
+    MEASURED AND REJECTED as the stem pool (round 4): on v5e the nine
+    stride-2 slices do NOT fuse — they materialize and cost 1.44 ms at b1
+    (vs 0.49 ms for `nn.max_pool`'s reduce_window at b16, profile in
+    docs/profiling.md). Kept as the numerics reference / CPU alternative;
+    identical semantics to `nn.max_pool` (pad = -inf)."""
+    B, H, W, C = x.shape
+    Ho, Wo = H // 2, W // 2
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            v = jax.lax.slice(
+                xp, (0, dy, dx, 0), (B, dy + 2 * Ho, dx + 2 * Wo, C), (1, 2, 2, 1))
+            out = v if out is None else jnp.maximum(out, v)
+    return out

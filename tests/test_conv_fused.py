@@ -1,0 +1,159 @@
+"""Fused 3x3/64ch conv kernel + shifted-slice maxpool vs XLA references.
+
+The kernel replaces XLA's conv emitter on the ResNet layer-1 hot path
+(`transfuser_backbone.py:24-55` territory); eval-mode BatchNorm folding must
+be exact, and the packed-layout chaining must match the standard block math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusiondrive_tpu.models.resnet import BasicBlock, ResNetStage
+from diffusiondrive_tpu.ops.conv_fused import (
+    bn_eval_affine,
+    fused_conv3x3,
+    fused_conv3x3_packed,
+    maxpool3x3s2,
+    pack_pairs,
+    supports_fused_conv3x3,
+    unpack_pairs,
+)
+
+
+def _conv_ref(x, w, scale=None, bias=None, residual=None, relu=False):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if scale is not None:
+        y = y * scale + bias
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+@pytest.mark.parametrize("B,H,W", [(2, 16, 32), (1, 8, 64), (3, 4, 6)])
+def test_fused_conv_matches_xla(B, H, W):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, H, W, 64)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * 0.2)
+    got = fused_conv3x3(x, w, interpret=True)
+    want = _conv_ref(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_conv_affine_residual_relu():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 32, 64)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * 0.2)
+    sc = jnp.asarray(rng.uniform(0.5, 2.0, 64).astype(np.float32))
+    bi = jnp.asarray(rng.normal(size=64).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(2, 8, 32, 64)).astype(np.float32))
+    got = fused_conv3x3(x, w, sc, bi, residual=res, relu=True, interpret=True)
+    want = _conv_ref(x, w, sc, bi, residual=res, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_roundtrip_and_supports():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 64)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(unpack_pairs(pack_pairs(x))), np.asarray(x))
+    assert supports_fused_conv3x3(x, 64, 1)
+    assert not supports_fused_conv3x3(x, 128, 1)      # channel change
+    assert not supports_fused_conv3x3(x, 64, 2)       # stride
+    assert not supports_fused_conv3x3(x[..., :32], 64, 1)  # 32 in-channels
+    odd = jnp.zeros((1, 4, 7, 64))
+    assert not supports_fused_conv3x3(odd, 64, 1)     # odd width
+
+
+def test_packed_chain_matches_two_convs():
+    """Chaining packed convs (the whole-stage path) == two NHWC convs."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 64)).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * 0.2)
+    x2 = pack_pairs(x)
+    y2 = fused_conv3x3_packed(x2, w1, relu=True, interpret=True)
+    out = unpack_pairs(fused_conv3x3_packed(y2, w2, residual2=x2, interpret=True))
+    want = _conv_ref(_conv_ref(x, w1, relu=True), w2, residual=x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_maxpool_matches_nn_max_pool():
+    import flax.linen as nn
+
+    rng = np.random.default_rng(4)
+    # include large negatives so the -inf padding semantics are exercised
+    x = jnp.asarray(rng.normal(size=(2, 16, 32, 8)).astype(np.float32) * 10 - 5)
+    got = maxpool3x3s2(x)
+    want = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bn_eval_affine_exact():
+    import flax.linen as nn
+
+    bn = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 4, 4, 16)).astype(np.float32))
+    v = bn.init(jax.random.PRNGKey(0), x)
+    v = {"params": v["params"],
+         "batch_stats": jax.tree_util.tree_map(lambda a: a + 0.37, v["batch_stats"])}
+    bound = bn.bind(v)
+    s, b = bn_eval_affine(bound, 16, jnp.float32)
+    want = bn.apply(v, x)
+    np.testing.assert_allclose(np.asarray(x * s + b), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_basic_block_fused_parity():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 64)).astype(np.float32) * 0.5)
+    blk_std = BasicBlock(64, fused_mode="off")
+    blk_fused = BasicBlock(64, fused_mode="interpret")
+    v = blk_std.init(jax.random.PRNGKey(0), x, train=False)
+    v = {"params": v["params"],
+         "batch_stats": jax.tree_util.tree_map(lambda a: a + 0.3, v["batch_stats"])}
+    y_std = blk_std.apply(v, x, train=False)
+    y_fused = blk_fused.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_std), rtol=1e-4, atol=1e-5)
+
+
+def test_stage_fused_parity_and_tree():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 64)).astype(np.float32) * 0.5)
+    st_off = ResNetStage(64, 3, stride=1, fused_mode="off")
+    st_fused = ResNetStage(64, 3, stride=1, fused_mode="interpret")
+    v = st_off.init(jax.random.PRNGKey(0), x, train=False)
+    v = {"params": v["params"],
+         "batch_stats": jax.tree_util.tree_map(lambda a: a + 0.25, v["batch_stats"])}
+    y0 = st_off.apply(v, x, train=False)
+    y1 = st_fused.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-5)
+    # init through the fused path must create the identical variable tree
+    v2 = st_fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v2["params"])
+            == jax.tree_util.tree_structure(v["params"]))
+
+
+def test_fused_conv_sharded_over_mesh():
+    """custom_partitioning: batch-sharded packed conv == unsharded result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(devices), ("data",))
+    rng = np.random.default_rng(8)
+    B = 2 * len(devices)
+    x = jnp.asarray(rng.normal(size=(B, 8, 16, 64)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * 0.2)
+    x2 = pack_pairs(x)
+    sharding = NamedSharding(mesh, P("data", None, None, None))
+    f = jax.jit(lambda a: fused_conv3x3_packed(a, w, relu=True),
+                in_shardings=sharding, out_shardings=sharding)
+    got = np.asarray(unpack_pairs(f(jax.device_put(x2, sharding))))
+    want = np.asarray(_conv_ref(x, w, relu=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
