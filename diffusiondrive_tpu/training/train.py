@@ -111,7 +111,14 @@ def create_train_state(
         batch_stats=variables.get("batch_stats", FrozenDict()),
         constants=variables.get("constants", FrozenDict()),
         opt_state=tx.init(params),
-        ema_params=params if opt_cfg.ema_decay is not None else None,
+        # DEEP-COPY, never alias: `ema_params=params` puts the SAME buffer in
+        # the donated state twice, and donating one buffer through two tree
+        # leaves fails at runtime on TPU ("TPU backend error (InvalidArgument)",
+        # full-size model, batch>=8 — round-4 bisect: the copied-EMA variant
+        # passes, the aliased one fails). This was the round-2 mystery that
+        # forced donation off whenever EMA was on.
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                    if opt_cfg.ema_decay is not None else None),
     )
     return state, tx
 
@@ -189,22 +196,25 @@ def shard_train_step(train_step: Callable, mesh: Mesh, ema: bool = False) -> Cal
     ICI all-reduce per step — the TPU equivalent of DDP.
 
     State buffers are donated on accelerators (halves peak param+opt memory),
-    with two carve-outs:
+    with one carve-out:
     - CPU meshes: the historical full-suite aborts were traced to XLA:CPU's
       40 s collective rendezvous termination under host load (now raised via
       XLA_FLAGS in conftest/__graft_entry__), but donation stays off on CPU —
       it buys nothing there and keeps the test path simple.
-    - EMA-enabled steps: the production-size model (resnet34, 256x1024) at
-      batch>=8 with donated state AND ema_params fails at runtime with
-      "TPU backend error (InvalidArgument)" on the tunneled v5e. The full
-      empirical matrix over {batch 2/8} x {donate} x {ema} shows every other
-      combination passing, so the aliasing of the extra EMA buffers is the
-      trigger; undonated EMA training costs one extra params+opt copy
-      (~0.7 GB fp32 at 60M params) and works everywhere.
+
+    EMA-enabled steps used to be a second carve-out: the round-2 bisect
+    showed full-size donate+EMA failing with "TPU backend error
+    (InvalidArgument)" at batch>=8. Round 4 root-caused it: the state
+    ALIASED `ema_params` to `params` (one buffer, two donated leaves).
+    `create_train_state` now deep-copies the EMA leaves, and the
+    donated+EMA full-size step passes on the v5e (two steps, loss
+    573.7 -> 537.9), so donation stays on with EMA — saving a full
+    params+opt HBM copy on the production config.
     """
     batch_sh = batch_sharding(mesh)
     repl = replicated(mesh)
-    donate_state = mesh.devices.flat[0].platform != "cpu" and not ema
+    del ema  # no longer a donation carve-out; kept for call-site compat
+    donate_state = mesh.devices.flat[0].platform != "cpu"
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_sh, repl),

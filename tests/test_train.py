@@ -93,3 +93,24 @@ def test_sharded_train_step_two_steps():
     assert not np.allclose(p_before, p_after)
     for key in ("trajectory_loss", "agent_class_loss", "agent_box_loss", "bev_semantic_loss"):
         assert np.isfinite(float(metrics2[key]))
+
+
+def test_ema_params_never_alias_params():
+    """Donation regression: `ema_params=params` puts the SAME buffer in the
+    donated state twice and fails at runtime on TPU ("InvalidArgument",
+    full-size model, batch>=8 — round-4 bisect). The EMA leaves must be
+    distinct buffers."""
+    import jax.numpy as jnp
+
+    config = tiny_config()
+    model = DiffusionDriveModel(config, dtype=jnp.float32)
+    batch = make_batch(2)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), batch, OptimizerConfig(ema_decay=0.999))
+    p_leaves = jax.tree_util.tree_leaves(state.params)
+    e_leaves = jax.tree_util.tree_leaves(state.ema_params)
+    assert len(p_leaves) == len(e_leaves)
+    for p, e in zip(p_leaves, e_leaves):
+        assert p is not e
+        assert p.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
