@@ -28,7 +28,7 @@ from diffusiondrive_tpu.models.config import TransfuserConfig
 from diffusiondrive_tpu.models.layers import LinearReluLn, MultiHeadAttention, mish
 from diffusiondrive_tpu.ops.ddim import DDIMScheduler
 from diffusiondrive_tpu.ops.embed import gen_sineembed_for_position, sinusoidal_pos_emb
-from diffusiondrive_tpu.ops.sampling import grid_sample_2d
+from diffusiondrive_tpu.ops.sampling import grid_sample_2d, onehot_take_rows
 
 # Normalization ranges of the ego-frame trajectory space:
 # x in [-1.2, 55.7], y in [-20, 26], heading in [-2, 1.9]
@@ -290,7 +290,7 @@ class DiffusionTrajectoryHead(nn.Module):
                                        ego_query, time_embed, deterministic=False)
 
         mode_idx = jnp.argmax(clss[-1], axis=-1)
-        best = jnp.take_along_axis(regs[-1], mode_idx[:, None, None, None], axis=1)[:, 0]
+        best = onehot_take_rows(regs[-1], mode_idx[:, None])[:, 0].astype(regs[-1].dtype)
         return {
             "trajectory": best,
             "poses_reg_layers": jnp.stack(regs),   # (L, B, M, P, 3)
@@ -331,7 +331,7 @@ class DiffusionTrajectoryHead(nn.Module):
             img = self.scheduler.step(x_start, k, img)
 
         mode_idx = jnp.argmax(poses_cls, axis=-1)
-        best = jnp.take_along_axis(poses_reg, mode_idx[:, None, None, None], axis=1)[:, 0]
+        best = onehot_take_rows(poses_reg, mode_idx[:, None])[:, 0].astype(poses_reg.dtype)
         return {
             "trajectory": best,
             "poses_reg": poses_reg,

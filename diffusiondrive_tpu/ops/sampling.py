@@ -123,3 +123,22 @@ def adaptive_avg_pool2d(x: jnp.ndarray, output_size: Sequence[int]) -> jnp.ndarr
     # tensor in bf16; the 8x smaller second stage accumulates in f32.
     y = y.mean(axis=4, dtype=y.dtype)
     return y.mean(axis=2, dtype=jnp.float32).astype(x.dtype)
+
+def onehot_take_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather ``arr[b, idx[b, i]]`` as a one-hot contraction.
+
+    On TPU a (B, N) `take_along_axis` inside a jitted (and especially a
+    differentiated) program lowers to a serialized gather — measured at
+    ~3.9 ms/step in the round-4 train trace for the loss's 30-row gathers —
+    while the one-hot einsum runs on the MXU in microseconds and transposes
+    to another matmul instead of a scatter in the backward pass.
+
+    :param arr: (B, N, ...) source
+    :param idx: (B, I) int indices into axis 1
+    :return: (B, I, ...) gathered rows, float32
+    """
+    n = arr.shape[1]
+    onehot = jax.nn.one_hot(idx, n, dtype=jnp.float32)         # (B, I, N)
+    flat = arr.reshape(arr.shape[0], n, -1).astype(jnp.float32)
+    out = jnp.einsum("bin,bnc->bic", onehot, flat)
+    return out.reshape(idx.shape + arr.shape[2:])

@@ -21,6 +21,7 @@ import optax
 
 from diffusiondrive_tpu.models.config import TransfuserConfig
 from diffusiondrive_tpu.ops.hungarian import batched_linear_sum_assignment
+from diffusiondrive_tpu.ops.sampling import onehot_take_rows
 
 
 def sigmoid_focal_loss(
@@ -50,7 +51,7 @@ def single_layer_trajectory_loss(
     onehot = jax.nn.one_hot(mode_idx, M, dtype=poses_cls.dtype)
     loss_cls = config.trajectory_cls_weight * sigmoid_focal_loss(poses_cls, onehot)
 
-    best_reg = jnp.take_along_axis(poses_reg, mode_idx[:, None, None, None], axis=1)[:, 0]
+    best_reg = onehot_take_rows(poses_reg, mode_idx[:, None])[:, 0]
     loss_reg = config.trajectory_reg_weight * jnp.mean(jnp.abs(best_reg - target_traj))
     return loss_cls + loss_reg
 
@@ -107,8 +108,8 @@ def agent_detection_loss(
     # cols[b, i] = gt index matched to prediction i
     cols = batched_linear_sum_assignment(cost)
 
-    gt_states_m = jnp.take_along_axis(gt_states, cols[:, :, None], axis=1)
-    gt_valid_m = jnp.take_along_axis(gt_valid, cols, axis=1)
+    gt_states_m = onehot_take_rows(gt_states, cols)
+    gt_valid_m = onehot_take_rows(gt_valid[..., None], cols)[..., 0]
 
     l1 = jnp.abs(pred_states - gt_states_m).sum(-1) * gt_valid_m
     l1_loss = l1.sum() / num_gt
@@ -118,10 +119,18 @@ def agent_detection_loss(
 
 
 def bev_semantic_loss(predictions: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """Cross-entropy over the (B, H, W, C) class-last semantic map."""
-    logits = predictions["bev_semantic_map"]
+    """Cross-entropy over the (B, H, W, C) class-last semantic map.
+
+    Same math as `optax.softmax_cross_entropy_with_integer_labels`, but the
+    label logit is picked with a one-hot contraction instead of optax's
+    `take_along_axis`: on TPU that gather over the (B,128,256,7) map (and its
+    scatter transpose in the backward pass) was the single `gather` fusion
+    costing 3.87 ms/step — 13.6% of the whole device step (round-4 trace)."""
+    logits = predictions["bev_semantic_map"].astype(jnp.float32)
     labels = targets["bev_semantic_map"].astype(jnp.int32)
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.sum(jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype) * logits, axis=-1)
+    return (lse - picked).mean()
 
 
 def transfuser_loss(
