@@ -50,27 +50,33 @@ def denorm_odo(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def default_plan_anchors(num_modes: int = 20, num_poses: int = 8) -> np.ndarray:
-    """Synthetic (num_modes, num_poses, 2) plan anchors.
+    """Default (num_modes, num_poses, 2) plan anchors.
 
     Stand-in for the kmeans anchors of navtrain trajectories
-    (`kmeans_navsim_traj_20.npy`): a speed x lateral-end-offset fan of
-    quadratic lateral profiles, all strictly inside the diffusion
-    normalization box (x in [-1.2, 55.7], y in [-20, 26]). Replaced by real
-    kmeans anchors via `DiffusionDriveAgent.initialize()` when available.
+    (`kmeans_navsim_traj_20.npy`, loaded at `transfuser_model_v2.py:453-458`):
+    k-means centroids of unicycle rollouts drawn from a synthetic
+    urban-driving prior (`utils/anchors.py:synthetic_driving_trajectories` —
+    straight cruising at a spread of speeds, stops, pull-aways, left/right
+    turns), matching the reference anchors' *construction* (k-means over a
+    trajectory population) rather than a hand-drawn fan. All modes live
+    strictly inside the diffusion normalization box (x in [-1.2, 55.7],
+    y in [-20, 26]). The 20x8 set ships precomputed as a package asset
+    (k-means on 8k rollouts costs ~8 s); other shapes regenerate on the fly.
+    Replaced by real kmeans anchors via `DiffusionDriveAgent.initialize()`
+    when trajectory data exists (`script/make_plan_anchors.py`).
     """
-    speeds = np.array([2.0, 6.0, 10.0, 13.5], dtype=np.float32)      # m/s
-    lateral_ends = np.array([-8.0, -3.0, 0.0, 3.0, 8.0], dtype=np.float32)  # m at horizon
-    t = np.arange(1, num_poses + 1, dtype=np.float32) * 0.5
-    anchors = []
-    for v in speeds:
-        for y_end in lateral_ends:
-            x = v * t
-            frac = t / t[-1]
-            # scale lateral displacement with speed: slow modes stay tighter
-            y = y_end * (v / speeds[-1]) * frac**2
-            anchors.append(np.stack([x, y], axis=-1))
-    anchors = np.stack(anchors[:num_modes], axis=0)
-    return anchors.astype(np.float32)
+    from pathlib import Path
+
+    asset = Path(__file__).parent.parent / "assets" / "default_plan_anchors.npy"
+    if num_modes == 20 and num_poses == 8 and asset.exists():
+        return np.load(asset).astype(np.float32)
+    from diffusiondrive_tpu.utils.anchors import (
+        kmeans_plan_anchors,
+        synthetic_driving_trajectories,
+    )
+
+    return kmeans_plan_anchors(
+        synthetic_driving_trajectories(num_poses=num_poses), num_modes)
 
 
 class GridSampleCrossBEVAttention(nn.Module):

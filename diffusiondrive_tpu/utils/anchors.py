@@ -92,3 +92,59 @@ def collect_trajectories_from_scenes(scene_loader, num_poses: int = 8) -> np.nda
     if not rows:
         raise ValueError("scene loader yielded no scenes")
     return np.stack(rows)
+
+
+def synthetic_driving_trajectories(
+    num_samples: int = 8192, num_poses: int = 8, dt: float = 0.5, seed: int = 0
+) -> np.ndarray:
+    """Sample (N, P, 2) ego-frame futures from a kinematic driving prior.
+
+    Stand-in data source for anchor generation when no logs exist: unicycle
+    rollouts x(t), y(t) under a mixture that mirrors urban-driving statistics
+    (the navtrain distribution the reference's `kmeans_navsim_traj_20.npy`
+    was clustered from) — mostly straight cruising, a spread of speeds up to
+    ~14 m/s, braking-to-stop and pull-away modes, and genuine left/right
+    turns (|curvature| up to 0.1 1/m). Everything stays inside the diffusion
+    normalization box (x in [-1.2, 55.7], y in [-20, 26], `norm_odo`).
+    """
+    rng = np.random.default_rng(seed)
+    n = num_samples
+
+    # initial speed mixture: stopped / crawl / urban cruise
+    comp = rng.choice(3, size=n, p=[0.10, 0.35, 0.55])
+    v0 = np.where(comp == 0, rng.uniform(0.0, 0.3, n),
+                  np.where(comp == 1, rng.uniform(0.3, 6.0, n),
+                           rng.uniform(6.0, 13.5, n)))
+    # longitudinal accel: mostly gentle, some hard braking / pull-away
+    accel = np.clip(rng.normal(0.0, 1.0, n), -3.0, 2.0)
+    accel = np.where((comp == 0) & (rng.uniform(size=n) < 0.5),
+                     rng.uniform(0.5, 2.0, n), accel)  # pull-away from stop
+    # curvature mixture: straight / gentle arc / intersection turn
+    turn = rng.choice(3, size=n, p=[0.55, 0.30, 0.15])
+    kappa = np.where(
+        turn == 0, rng.normal(0.0, 0.003, n),
+        np.where(turn == 1, rng.normal(0.0, 0.02, n),
+                 rng.choice([-1.0, 1.0], n) * rng.uniform(0.03, 0.10, n)))
+    # tight turns happen at low speed (lateral-accel comfort bound ~3 m/s^2)
+    v_max_lat = np.sqrt(3.0 / np.maximum(np.abs(kappa), 1e-6))
+    v0 = np.minimum(v0, v_max_lat)
+
+    steps = 10  # integrate at 0.05 s then subsample to the 0.5 s pose grid
+    h = dt / steps
+    x = np.zeros(n)
+    y = np.zeros(n)
+    psi = np.zeros(n)
+    v = v0.copy()
+    poses = np.zeros((n, num_poses, 2), np.float64)
+    for p in range(num_poses):
+        for _ in range(steps):
+            v = np.clip(v + accel * h, 0.0, 15.0)
+            x = x + v * np.cos(psi) * h
+            y = y + v * np.sin(psi) * h
+            psi = psi + kappa * v * h
+        poses[:, p, 0] = x
+        poses[:, p, 1] = y
+    # keep strictly inside the normalization box
+    poses[..., 0] = np.clip(poses[..., 0], -1.0, 55.0)
+    poses[..., 1] = np.clip(poses[..., 1], -19.5, 25.5)
+    return poses.astype(np.float32)

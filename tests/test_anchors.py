@@ -84,3 +84,34 @@ def test_cli_from_cache(tmp_path, monkeypatch):
     anchors = np.load(out)
     assert anchors.shape == (3, 8, 2)
     assert np.isfinite(anchors).all()
+
+
+def test_default_anchor_asset_matches_regeneration():
+    """The shipped `assets/default_plan_anchors.npy` is exactly what
+    `synthetic_driving_trajectories` + k-means regenerate (provenance guard:
+    the asset is derived data, never hand-edited)."""
+    from pathlib import Path
+
+    import diffusiondrive_tpu
+    from diffusiondrive_tpu.utils.anchors import synthetic_driving_trajectories
+
+    asset = Path(diffusiondrive_tpu.__file__).parent / "assets" / "default_plan_anchors.npy"
+    shipped = np.load(asset)
+    regen = kmeans_plan_anchors(synthetic_driving_trajectories(), 20)
+    np.testing.assert_array_equal(shipped, regen)
+
+
+def test_synthetic_driving_prior_statistics():
+    """The anchor source distribution looks like driving: forward-dominant,
+    contains stops and real turns, stays inside the diffusion norm box."""
+    from diffusiondrive_tpu.utils.anchors import synthetic_driving_trajectories
+
+    tr = synthetic_driving_trajectories(num_samples=2048, seed=1)
+    assert tr.shape == (2048, 8, 2)
+    assert tr[..., 0].min() >= -1.2 and tr[..., 0].max() <= 55.7
+    assert tr[..., 1].min() >= -20.0 and tr[..., 1].max() <= 26.0
+    ends = tr[:, -1]
+    assert (ends[:, 0] < 1.0).mean() > 0.02           # some stopped modes
+    assert (np.abs(ends[:, 1]) > 5.0).mean() > 0.05   # some genuine turns
+    assert (np.abs(ends[:, 1]) < 1.0).mean() > 0.4    # mostly straight
+    assert np.median(ends[:, 0]) > 10.0               # forward progress dominates
