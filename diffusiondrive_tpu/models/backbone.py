@@ -132,10 +132,11 @@ class TransfuserBackbone(nn.Module):
         img_block, img_sizes, img_widths, img_chs = ARCH_SPECS[cfg.image_architecture]
         lid_block, lid_sizes, lid_widths, lid_chs = ARCH_SPECS[cfg.lidar_architecture]
 
-        img = ResNetStem(dtype=self.dtype, name="image_encoder_stem")(camera, train=train)
-        lid = ResNetStem(dtype=self.dtype, name="lidar_encoder_stem")(lidar, train=train)
-
         fused_mode = getattr(cfg, "fused_conv_mode", "auto")
+        img = ResNetStem(dtype=self.dtype, fused_mode=fused_mode,
+                         name="image_encoder_stem")(camera, train=train)
+        lid = ResNetStem(dtype=self.dtype, fused_mode=fused_mode,
+                         name="lidar_encoder_stem")(lidar, train=train)
         for i in range(4):
             img = ResNetStage(img_widths[i], img_sizes[i], stride=1 if i == 0 else 2,
                               block=img_block, dtype=self.dtype, fused_mode=fused_mode,

@@ -25,6 +25,7 @@ from diffusiondrive_tpu.ops.conv_fused import (
     supports_fused_conv3x3,
     unpack_pairs,
 )
+from diffusiondrive_tpu.ops.stem_fused import fused_stem, supports_fused_stem
 
 _BN = dict(momentum=0.9, epsilon=1e-5)
 
@@ -143,16 +144,56 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class Conv7x7(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv(64, (7, 7), strides=2,
+    padding=3, use_bias=False)`` that exposes its kernel (setup-style) so the
+    fused stem kernel can read it without running the conv."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, self.in_features, self.features))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), self.kernel.astype(self.dtype),
+            window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNetStem(nn.Module):
-    """conv7x7/2 + BN + ReLU + maxpool3x3/2 (overall reduction 4)."""
+    """conv7x7/2 + BN + ReLU + maxpool3x3/2 (overall reduction 4).
+
+    Eval path on TPU: the whole stem runs as one fused Pallas kernel
+    (`ops/stem_fused.py`) with the eval BatchNorm folded to an affine — a
+    3-channel NHWC conv caps XLA's emitter at ~7% MFU and the pool's
+    reduce_window adds ~0.5 ms; fused they cost one VMEM pass.
+    """
 
     dtype: Any = jnp.float32
+    fused_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1", **_BN)(x)
+        conv1 = Conv7x7(64, x.shape[-1], dtype=self.dtype, name="conv1")
+        bn1 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="bn1", **_BN)
+        fused = (
+            not train
+            and self.fused_mode != "off"
+            and supports_fused_stem(x)
+            and (self.fused_mode == "interpret" or jax.default_backend() == "tpu")
+        )
+        if fused:
+            s1, b1 = bn_eval_affine(bn1, 64, self.dtype)
+            return fused_stem(x.astype(self.dtype), conv1.kernel.astype(self.dtype),
+                              s1, b1, interpret=self.fused_mode == "interpret")
+        x = conv1(x)
+        x = bn1(x)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -221,7 +262,8 @@ class ResNetFeatures(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         block, sizes, widths, _ = ARCH_SPECS[self.architecture]
-        x = ResNetStem(dtype=self.dtype, name="stem")(x, train=train)
+        x = ResNetStem(dtype=self.dtype, fused_mode=self.fused_mode,
+                       name="stem")(x, train=train)
         features = []
         for stage_idx, (num_blocks, width) in enumerate(zip(sizes, widths)):
             x = ResNetStage(width, num_blocks, stride=1 if stage_idx == 0 else 2, block=block,

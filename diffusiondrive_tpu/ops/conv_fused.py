@@ -225,6 +225,54 @@ def fused_conv3x3(
     return unpack_pairs(out)
 
 
+def pack_stem_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(7,7,C,F) HWIO stem kernel -> (7,3,4C,2F) width-grouped/pair-packed.
+
+    Reformulates the stride-2 7x7 stem conv as a stride-(2,1) conv over
+    width-grouped-by-4 input (a contiguous, therefore free, reshape of NHWC):
+    group g holds pixels 4g..4g+3 (4C channels), and each output "pair"
+    position p emits the two adjacent output pixels (2p, 2p+1) in the channel
+    dim (lanes 0:F even, F:2F odd). Output pixel 2p+s reads input pixel
+    4(p+q')+r = 2(2p+s)+dx-3, so tap dx of the original kernel lands at
+    (q=q'+1, channel r*C+ch, lane s*F+co) with dx = 4(q-1)+r-2s+3.
+
+    MEASURED AND REJECTED as an XLA-path stem (round 4): although both
+    reshapes are contiguous in logical order, XLA:TPU's tiled physical
+    layouts make them real relayout copies — the image stem went 2.34 ->
+    4.43 ms/launch at b16 when wired into `ResNetStem`. Kept as the exact
+    numerics reference for the Pallas stem kernel, whose weight packing
+    reuses this (dy, q, r*C+ch, s*F+co) indexing.
+    """
+    K, K2, C, F = w.shape
+    assert K == 7 and K2 == 7
+    out = jnp.zeros((7, 3, 4 * C, 2 * F), w.dtype)
+    for q in range(3):
+        for r in range(4):
+            for s in range(2):
+                dx = 4 * (q - 1) + r - 2 * s + 3
+                if 0 <= dx < 7:
+                    out = out.at[:, q, r * C:(r + 1) * C, s * F:(s + 1) * F].set(w[:, dx])
+    return out
+
+
+def stem_conv7x7s2_grouped(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """7x7 stride-2 pad-3 NHWC conv via the width-grouped formulation.
+
+    Exact reformulation of ``lax.conv_general_dilated(x, w, (2, 2),
+    ((3, 3), (3, 3)))`` for any input channel count (camera C=3, lidar BEV
+    histograms); requires W % 4 == 0. See `pack_stem_weights` for why.
+    """
+    B, H, W, C = x.shape
+    assert W % 4 == 0, W
+    xg = x.reshape(B, H, W // 4, 4 * C)
+    wg = pack_stem_weights(w.astype(x.dtype))
+    y = jax.lax.conv_general_dilated(
+        xg, wg, window_strides=(2, 1), padding=((3, 3), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Bo, Ho, P, F2 = y.shape
+    return y.reshape(Bo, Ho, P * 2, F2 // 2)
+
+
 def bn_eval_affine(bn_apply, channels: int, dtype) -> tuple:
     """Exact (scale, bias) of an eval-mode normalization layer, extracted by
     probing it with zeros and ones — eval BatchNorm is per-channel affine, so
