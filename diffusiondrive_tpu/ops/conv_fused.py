@@ -39,8 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.experimental.custom_partitioning import custom_partitioning
-from jax.sharding import NamedSharding, PartitionSpec
+from diffusiondrive_tpu.ops.batch_partition import batch_partitioned
 
 
 def pack_conv3x3_weights(w: jnp.ndarray) -> jnp.ndarray:
@@ -53,11 +52,17 @@ def pack_conv3x3_weights(w: jnp.ndarray) -> jnp.ndarray:
     return wb.reshape(3, 2, 128, 128).reshape(768, 128)
 
 
-def _kernel(x_ref, b_ref, sb_ref, r_ref, o_ref, pp_ref, *, h_chunk: int,
+def _kernel(x_ref, b_ref, sb_ref, *rest, h_chunk: int,
             relu: bool, residual: bool):
     """One grid step = one image. x_ref/r_ref/o_ref: (1, H, P, 128) — NHWC
     bit-viewed as width-pairs (P = W//2). pp_ref: (H+2, P+1, 128) scratch in
-    the packed+padded layout pp[r] = (x[2r-1], x[2r])."""
+    the packed+padded layout pp[r] = (x[2r-1], x[2r]). The residual operand
+    exists only when `residual` — a dummy would still be DMA'd HBM->VMEM
+    every grid step (a full extra copy of the input's footprint)."""
+    if residual:
+        r_ref, o_ref, pp_ref = rest
+    else:
+        o_ref, pp_ref = rest
     H, P = x_ref.shape[1], x_ref.shape[2]
     f32 = jnp.float32
 
@@ -101,59 +106,47 @@ def _pick_h_chunk(h: int) -> int:
     return 1
 
 
-def _fused_conv3x3_pallas(x2, bmat, sb, res2, *, relu: bool, residual: bool,
-                          interpret: bool = False):
+def _fused_conv3x3_pallas(x2, bmat, sb, res2=None, *, relu: bool,
+                          residual: bool, interpret: bool = False):
     B, H, P, _ = x2.shape
     # Mosaic kernels only compile for TPU; fall back to interpret mode off-TPU
     # so the sharded entry point stays executable (and testable) on CPU meshes
     interpret = interpret or jax.default_backend() != "tpu"
+    data_spec = pl.BlockSpec((1, H, P, 128), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        data_spec,
+        pl.BlockSpec((768, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = (x2, bmat, sb)
+    if residual:
+        in_specs.append(data_spec)
+        operands += (res2,)
     return pl.pallas_call(
         functools.partial(_kernel, h_chunk=_pick_h_chunk(H), relu=relu,
                           residual=residual),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, P, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((768, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, P, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, P, 128), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, P, 128), x2.dtype),
         scratch_shapes=[pltpu.VMEM((H + 2, P + 1, 128), x2.dtype)],
         interpret=interpret,
-    )(x2, bmat, sb, res2)
+    )(*operands)
 
 
-@functools.partial(custom_partitioning, static_argnums=(4, 5))
-def _fused_conv3x3_sharded(x2, bmat, sb, res2, relu, residual):
-    return _fused_conv3x3_pallas(x2, bmat, sb, res2, relu=relu, residual=residual)
+_fused_conv3x3_sharded = batch_partitioned(
+    lambda x2, bmat, sb, res2, relu: _fused_conv3x3_pallas(
+        x2, bmat, sb, res2, relu=relu, residual=True),
+    batched=(0, 3), ndims=(4, 2, 2, 4), out_ndim=4,
+    rule="b h w c, k n, s t, b h w c -> b h w c", static_argnums=(4,))
 
-
-def _batch_axis(arg_infos):
-    spec = getattr(arg_infos[0].sharding, "spec", None)
-    return spec[0] if spec else None
-
-
-def _infer(relu, residual, mesh, arg_infos, result_infos):
-    return NamedSharding(mesh, PartitionSpec(_batch_axis(arg_infos), None, None, None))
-
-
-def _partition(relu, residual, mesh, arg_infos, result_infos):
-    b = _batch_axis(arg_infos)
-    data = PartitionSpec(b, None, None, None)
-    repl2 = PartitionSpec(None, None)
-    arg_sh = (NamedSharding(mesh, data), NamedSharding(mesh, repl2),
-              NamedSharding(mesh, repl2), NamedSharding(mesh, data))
-    fn = functools.partial(_fused_conv3x3_pallas, relu=relu, residual=residual)
-    return mesh, fn, NamedSharding(mesh, data), arg_sh
-
-
-_fused_conv3x3_sharded.def_partition(
-    partition=_partition,
-    infer_sharding_from_operands=_infer,
-    sharding_rule="b h w c, k n, s t, b h w c -> b h w c",
-)
+_fused_conv3x3_sharded_nores = batch_partitioned(
+    lambda x2, bmat, sb, relu: _fused_conv3x3_pallas(
+        x2, bmat, sb, relu=relu, residual=False),
+    batched=(0,), ndims=(4, 2, 2), out_ndim=4,
+    rule="b h w c, k n, s t -> b h w c", static_argnums=(3,))
 
 
 def supports_fused_conv3x3(x: jnp.ndarray, features: int, stride: int) -> bool:
@@ -200,12 +193,13 @@ def fused_conv3x3_packed(
     sb = jnp.stack([jnp.tile(scale.astype(jnp.float32), 2),
                     jnp.tile(bias.astype(jnp.float32), 2)])  # (2,128) f32
     has_res = residual2 is not None
-    res2 = residual2 if has_res else x2
     bmat = pack_conv3x3_weights(w.astype(x2.dtype))
     if interpret:
-        return _fused_conv3x3_pallas(x2, bmat, sb, res2, relu=relu,
+        return _fused_conv3x3_pallas(x2, bmat, sb, residual2, relu=relu,
                                      residual=has_res, interpret=True)
-    return _fused_conv3x3_sharded(x2, bmat, sb, res2, relu, has_res)
+    if has_res:
+        return _fused_conv3x3_sharded(x2, bmat, sb, residual2, relu)
+    return _fused_conv3x3_sharded_nores(x2, bmat, sb, relu)
 
 
 def fused_conv3x3(
@@ -274,12 +268,30 @@ def stem_conv7x7s2_grouped(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def bn_eval_affine(bn_apply, channels: int, dtype) -> tuple:
-    """Exact (scale, bias) of an eval-mode normalization layer, extracted by
-    probing it with zeros and ones — eval BatchNorm is per-channel affine, so
-    two probes identify it without touching its parameter tree."""
+    """Exact f32 (scale, bias) of an eval-mode BatchNorm.
+
+    Calls the module once (creating/binding its params during init), then
+    folds the affine directly from its variables in f32. Folding from the
+    parameter tree — rather than differencing two probe evaluations — matters
+    in bf16: ``bn(1) - bn(0)`` cancels catastrophically when |bias| >> |scale|
+    (bf16 spacing at the bias magnitude can exceed the scale itself), which
+    would make the fused path silently diverge from the BN it replaces."""
     shape = (1, 1, 1, channels)
-    b = bn_apply(jnp.zeros(shape, dtype)).reshape(channels)
-    s = bn_apply(jnp.ones(shape, dtype)).reshape(channels) - b
+    probe = bn_apply(jnp.zeros(shape, dtype)).reshape(channels)
+    v = bn_apply.variables
+    if "batch_stats" in v:
+        f32 = jnp.float32
+        stats, params = v["batch_stats"], v.get("params", {})
+        gamma = params.get("scale", jnp.ones((channels,), f32)).astype(f32)
+        beta = params.get("bias", jnp.zeros((channels,), f32)).astype(f32)
+        s = gamma * jax.lax.rsqrt(stats["var"].astype(f32) + bn_apply.epsilon)
+        b = beta - stats["mean"].astype(f32) * s
+        return s, b
+    # Non-BatchNorm affine layer: fall back to probe differencing with a
+    # large probe so the subtraction is conditioned (K·scale >> bias).
+    k = jnp.asarray(4096.0, dtype)
+    b = probe.astype(jnp.float32)
+    s = (bn_apply(jnp.full(shape, k, dtype)).reshape(channels).astype(jnp.float32) - b) / 4096.0
     return s, b
 
 

@@ -36,8 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.experimental.custom_partitioning import custom_partitioning
-from jax.sharding import NamedSharding, PartitionSpec
+from diffusiondrive_tpu.ops.batch_partition import batch_partitioned
 
 # python float, not jnp.float32(...): a concrete jax Array at module scope
 # becomes a captured jaxpr const, which custom_partitioning disallows.
@@ -244,32 +243,9 @@ def _lsa_local(cost: jnp.ndarray) -> jnp.ndarray:
     return _vmapped_linear_sum_assignment(cost)
 
 
-@custom_partitioning
-def _lsa_batch_partitioned(cost: jnp.ndarray) -> jnp.ndarray:
-    return _lsa_local(cost)
-
-
-def _lsa_batch_axis(arg_infos):
-    spec = getattr(arg_infos[0].sharding, "spec", None)
-    return spec[0] if spec else None
-
-
-def _lsa_infer_sharding(mesh, arg_infos, result_infos):
-    return NamedSharding(mesh, PartitionSpec(_lsa_batch_axis(arg_infos), None))
-
-
-def _lsa_partition(mesh, arg_infos, result_infos):
-    batch_axis = _lsa_batch_axis(arg_infos)
-    arg_shardings = (NamedSharding(mesh, PartitionSpec(batch_axis, None, None)),)
-    out_sharding = NamedSharding(mesh, PartitionSpec(batch_axis, None))
-    return mesh, _lsa_local, out_sharding, arg_shardings
-
-
-_lsa_batch_partitioned.def_partition(
-    partition=_lsa_partition,
-    infer_sharding_from_operands=_lsa_infer_sharding,
-    sharding_rule="B n m -> B n",  # batch-pointwise (Shardy)
-)
+_lsa_batch_partitioned = batch_partitioned(
+    _lsa_local, batched=(0,), ndims=(3,), out_ndim=2,
+    rule="B n m -> B n")  # batch-pointwise (Shardy)
 
 
 def batched_linear_sum_assignment(

@@ -39,8 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.experimental.custom_partitioning import custom_partitioning
-from jax.sharding import NamedSharding, PartitionSpec
+from diffusiondrive_tpu.ops.batch_partition import batch_partitioned
 
 _POOL_ROWS_PER_STEP = 16
 
@@ -169,34 +168,11 @@ def _stem_pallas(xp, wt, sb, *, interpret: bool = False):
     )(xp, wt, sb)
 
 
-@custom_partitioning
-def _stem_sharded(xp, wt, sb):
-    return _stem_pallas(xp, wt, sb)
-
-
-def _batch_axis(arg_infos):
-    spec = getattr(arg_infos[0].sharding, "spec", None)
-    return spec[0] if spec else None
-
-
-def _infer(mesh, arg_infos, result_infos):
-    return NamedSharding(mesh, PartitionSpec(_batch_axis(arg_infos), None, None, None))
-
-
-def _partition(mesh, arg_infos, result_infos):
-    b = _batch_axis(arg_infos)
-    data = PartitionSpec(b, None, None, None)
-    repl2 = PartitionSpec(None, None)
-    arg_sh = (NamedSharding(mesh, data), NamedSharding(mesh, repl2),
-              NamedSharding(mesh, repl2))
-    return mesh, _stem_pallas, NamedSharding(mesh, data), arg_sh
-
-
-_stem_sharded.def_partition(
-    partition=_partition,
-    infer_sharding_from_operands=_infer,
-    sharding_rule="b h s g, m k, t m -> b p f g",
-)
+# exact-arity lambda: custom_partitioning rejects unfilled keyword defaults
+_stem_sharded = batch_partitioned(
+    lambda xp, wt, sb: _stem_pallas(xp, wt, sb),
+    batched=(0,), ndims=(4, 2, 2), out_ndim=4,
+    rule="b h s g, m k, t m -> b p f g")
 
 
 def supports_fused_stem(x: jnp.ndarray) -> bool:

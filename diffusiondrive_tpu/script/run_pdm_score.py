@@ -66,7 +66,7 @@ def main() -> None:
         available = len(jax.devices())
         if n_mesh < -1 or n_mesh > available:
             raise SystemExit(
-                f"--mesh-devices must be -1 (all) or 1..{available} "
+                f"--mesh-devices must be 0 (no mesh), -1 (all) or 1..{available} "
                 f"(have {available} devices), got {n_mesh}"
             )
         devices = jax.devices() if n_mesh == -1 else jax.devices()[:n_mesh]

@@ -24,8 +24,9 @@ run leaves an artifact for docs.
 
 Usage:
     python -m diffusiondrive_tpu.script.run_soak --steps 200 --batch 8
-    # quick CPU smoke (tiny model):
-    JAX_PLATFORMS=cpu python -m diffusiondrive_tpu.script.run_soak --tiny --steps 12
+    # quick CPU smoke (tiny model; --cpu because this image's sitecustomize
+    # pins JAX_PLATFORMS=axon, so the env var alone does NOT force CPU):
+    python -m diffusiondrive_tpu.script.run_soak --cpu --tiny --steps 12 --checkpoint-every 6
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import shutil
 import time
 from pathlib import Path
 
@@ -69,6 +71,11 @@ def run_soak(steps: int = 200, batch: int = 8, pool: int = 4, checkpoint_every: 
     import jax
     import numpy as np
 
+    if steps <= 0 or steps % checkpoint_every != 0:
+        raise ValueError(
+            f"--steps ({steps}) must be a positive multiple of "
+            f"--checkpoint-every ({checkpoint_every})")
+
     from diffusiondrive_tpu.models.config import TransfuserConfig
     from diffusiondrive_tpu.models.transfuser_model import DiffusionDriveModel
     from diffusiondrive_tpu.parallel.mesh import create_mesh, shard_batch
@@ -96,10 +103,12 @@ def run_soak(steps: int = 200, batch: int = 8, pool: int = 4, checkpoint_every: 
     metrics_path = out / "metrics.jsonl"
     if metrics_path.exists():
         metrics_path.unlink()  # the integrity check below wants this run only
+    for stale in out.glob("epoch_*"):  # ditto the checkpoint count + restore
+        shutil.rmtree(stale)
 
     model = DiffusionDriveModel(config, dtype=jnp.bfloat16)
     opt_cfg = OptimizerConfig(steps_per_epoch=checkpoint_every,
-                              epochs=max(1, steps // checkpoint_every),
+                              epochs=steps // checkpoint_every,
                               ema_decay=0.999 if ema else None)
     mesh = create_mesh()
     trainer = Trainer(model, config, opt_cfg, output_dir=str(out), mesh=mesh, seed=seed)
@@ -111,7 +120,6 @@ def run_soak(steps: int = 200, batch: int = 8, pool: int = 4, checkpoint_every: 
     device_pool = [shard_batch(b, mesh) for b in host_pool]
 
     num_epochs = steps // checkpoint_every
-    assert num_epochs * checkpoint_every == steps, "steps must be a multiple of checkpoint_every"
     epoch_walls: list[float] = []
 
     class _EpochTimer:
@@ -156,12 +164,15 @@ def run_soak(steps: int = 200, batch: int = 8, pool: int = 4, checkpoint_every: 
     first_k, last_k = float(losses[:k].mean()), float(losses[-k:].mean())
     if not last_k < first_k:
         failures.append(f"loss did not decrease: first-{k} mean {first_k:.2f} vs last-{k} {last_k:.2f}")
-    # monotone-ish: each fifth-of-the-run window no worse than the previous +2%
+    # monotone-ish: each fifth-of-the-run window no worse than the previous +2%.
+    # Only meaningful when each window averages enough steps to beat batch
+    # noise — short smoke runs keep just the first/last-K decrease check.
     windows = [float(w.mean()) for w in np.array_split(losses, 5)]
-    for a, b in zip(windows, windows[1:]):
-        if b > a * 1.02:
-            failures.append(f"loss window regressed: {a:.2f} -> {b:.2f} (windows {['%.1f' % w for w in windows]})")
-            break
+    if steps >= 50:
+        for a, b in zip(windows, windows[1:]):
+            if b > a * 1.02:
+                failures.append(f"loss window regressed: {a:.2f} -> {b:.2f} (windows {['%.1f' % w for w in windows]})")
+                break
 
     # step-time stability: epoch 1 carries the compile; epochs 2..N must sit
     # within time_tol of their median

@@ -108,6 +108,28 @@ def test_bn_eval_affine_exact():
     np.testing.assert_allclose(np.asarray(x * s + b), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_bn_eval_affine_bf16_no_cancellation():
+    """The folded affine must be exact even when the module computes in bf16
+    and |bias| >> |scale| — probe differencing (bn(1)-bn(0)) cancels
+    catastrophically there (bf16 spacing at the bias magnitude exceeds the
+    scale), which silently skewed every fused-path channel on TPU eval."""
+    import flax.linen as nn
+
+    C = 8
+    bn = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
+                      dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 1, 1, C), jnp.bfloat16)
+    v = bn.init(jax.random.PRNGKey(0), x)
+    # folded scale ~0.01, folded bias ~ -mean*scale + beta: |bias|/|scale| huge
+    v = {"params": {"scale": jnp.full((C,), 1.0), "bias": jnp.full((C,), 4.0)},
+         "batch_stats": {"mean": jnp.full((C,), 40.0), "var": jnp.full((C,), 1e4)}}
+    s, b = bn_eval_affine(bn.bind(v), C, jnp.bfloat16)
+    want_s = 1.0 / np.sqrt(1e4 + 1e-5)
+    np.testing.assert_allclose(np.asarray(s), want_s, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), 4.0 - 40.0 * want_s, rtol=1e-5)
+    assert s.dtype == jnp.float32 and b.dtype == jnp.float32
+
+
 def test_basic_block_fused_parity():
     rng = np.random.default_rng(6)
     x = jnp.asarray(rng.normal(size=(2, 8, 16, 64)).astype(np.float32) * 0.5)
