@@ -149,27 +149,38 @@ class EgoAreaIndex:
 
 
 class MultiMetricIndex:
-    """Multiplicative sub-metrics of the PDM score."""
+    """Multiplicative sub-metrics of the PDM score.
+
+    Parity: `pdm_planner/utils/pdm_enums.py:MultiMetricIndex` —
+    driving-direction is NOT multiplicative; it lives in
+    `WeightedMetricIndex` (with default weight 0).
+    """
 
     NO_COLLISION = 0
     DRIVABLE_AREA = 1
-    DRIVING_DIRECTION = 2
 
     @classmethod
     def size(cls) -> int:
-        return 3
+        return 2
 
 
 class WeightedMetricIndex:
-    """Weighted-average sub-metrics of the PDM score."""
+    """Weighted-average sub-metrics of the PDM score.
+
+    Parity: `pdm_planner/utils/pdm_enums.py:WeightedMetricIndex`.
+    The scorer builds its weight vector from this order
+    (`evaluate/scorer.py:score_proposals`), so layout and aggregation
+    cannot drift apart.
+    """
 
     PROGRESS = 0
     TTC = 1
     COMFORTABLE = 2
+    DRIVING_DIRECTION = 3
 
     @classmethod
     def size(cls) -> int:
-        return 3
+        return 4
 
 
 class LeadingAgentIndex:

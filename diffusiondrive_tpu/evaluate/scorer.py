@@ -345,15 +345,19 @@ def score_proposals(
         jnp.where(multiplicative == 0.0, 0.0, 1.0),
     )
 
-    weights = jnp.asarray(
-        [config.progress_weight, config.ttc_weight, config.comfortable_weight, config.driving_direction_weight]
-    )
-    weighted = (
-        normalized_progress * weights[0]
-        + ttc_score * weights[1]
-        + comfort_score * weights[2]
-        + dd_score * weights[3]
-    ) / weights.sum()
+    # Weight vector and metric stack are both laid out by WeightedMetricIndex
+    # order so the enum and the aggregation cannot drift apart.
+    weights = jnp.zeros(WeightedMetricIndex.size())
+    weights = weights.at[WeightedMetricIndex.PROGRESS].set(config.progress_weight)
+    weights = weights.at[WeightedMetricIndex.TTC].set(config.ttc_weight)
+    weights = weights.at[WeightedMetricIndex.COMFORTABLE].set(config.comfortable_weight)
+    weights = weights.at[WeightedMetricIndex.DRIVING_DIRECTION].set(config.driving_direction_weight)
+    metrics = jnp.zeros((WeightedMetricIndex.size(), B), dtype=normalized_progress.dtype)
+    metrics = metrics.at[WeightedMetricIndex.PROGRESS].set(normalized_progress)
+    metrics = metrics.at[WeightedMetricIndex.TTC].set(ttc_score)
+    metrics = metrics.at[WeightedMetricIndex.COMFORTABLE].set(comfort_score)
+    metrics = metrics.at[WeightedMetricIndex.DRIVING_DIRECTION].set(dd_score)
+    weighted = (weights[:, None] * metrics).sum(axis=0) / weights.sum()
 
     final = multiplicative * weighted
 

@@ -8,6 +8,9 @@ Covered reference modules (all under
 `navsim/planning/simulation/planner/pdm_planner/`):
 - `scoring/pdm_comfort_metrics.py` (imports clean; savgol comfort suite)
 - `simulation/batch_lqr_utils.py` (velocity/curvature profile fits)
+- `simulation/batch_lqr.py` (the FULL BatchLQRTracker: per-step
+  accel/steering-rate commands incl. the stopping branch, and the complete
+  41-step tracked rollout vs reference-tracker-plus-reference-bicycle)
 - `simulation/batch_kinematic_bicycle.py` (rear-axle bicycle propagate)
 - `proposal/batch_idm_policy.py` (vectorized IDM ODE)
 
@@ -187,6 +190,26 @@ def _random_states(rng: np.random.Generator, batch: int, time: int) -> np.ndarra
 
 
 # --------------------------------------------------------------------------- #
+# 0. Metric-index enum layout (pdm_enums)
+# --------------------------------------------------------------------------- #
+
+
+def test_metric_index_enums_match_reference():
+    """Our MultiMetricIndex/WeightedMetricIndex match `pdm_enums.py:155-168`
+    member-for-member: driving-direction is a WEIGHTED metric (weight 0), not
+    a multiplicative one."""
+    ref = _import_reference(f"{_PDM}.utils.pdm_enums")
+    from diffusiondrive_tpu.common.enums import MultiMetricIndex, WeightedMetricIndex
+
+    for ref_enum, ours in ((ref.MultiMetricIndex, MultiMetricIndex),
+                           (ref.WeightedMetricIndex, WeightedMetricIndex)):
+        members = {m.name: int(m.value) for m in ref_enum}
+        assert ours.size() == len(members)
+        for name, value in members.items():
+            assert getattr(ours, name) == value, (ours.__name__, name)
+
+
+# --------------------------------------------------------------------------- #
 # 1. Comfort metrics (savgol suite)
 # --------------------------------------------------------------------------- #
 
@@ -292,6 +315,142 @@ def test_bicycle_differential():
             )
         )
     np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-9)
+
+
+# --------------------------------------------------------------------------- #
+# 3b. Full LQR tracker (batch_lqr.BatchLQRTracker)
+# --------------------------------------------------------------------------- #
+#
+# Our closed-form LTV horizon composition (`evaluate/simulator.py:lqr_track_step`)
+# replaces the reference's sequential 10-matrix einsum chain — self-derived math
+# that these tests pin directly against the reference's own `batch_lqr.py:28-464`.
+
+
+def _proposal_batch(rng: np.random.Generator, batch: int, time: int) -> np.ndarray:
+    """(B, T, 11) proposal states: smooth driving + stationary ("stopping") mix.
+
+    The last quarter of the batch is fully stationary (all poses identical),
+    driving the profile fit to ~zero reference velocity so the tracker's
+    stopping P-controller branch is exercised alongside the LQR branch.
+    """
+    states = _random_states(rng, batch, time)
+    n_stop = batch // 4
+    states[-n_stop:] = states[-n_stop:, :1]  # freeze every pose at t=0
+    return states
+
+
+def _reference_tracker(dt: float):
+    ref = _import_reference(f"{_PDM}.simulation.batch_lqr")
+    tracker = ref.BatchLQRTracker()
+    tracker._discretization_time = dt
+    return tracker
+
+
+def _our_track_commands(proposals: np.ndarray, current: np.ndarray, t: int, dt: float):
+    """Replicate PDMSimulator's per-step gathers, then run our tracker step."""
+    from diffusiondrive_tpu.evaluate.simulator import (
+        LQRParams,
+        lqr_track_step,
+        velocity_curvature_profiles_from_poses,
+    )
+    from diffusiondrive_tpu.evaluate.vehicle import get_pacifica_parameters
+
+    lqr = LQRParams(discretization_time=dt)
+    H = lqr.tracking_horizon
+    velocity, curvature = velocity_curvature_profiles_from_poses(
+        proposals[..., :3], dt, lqr.jerk_penalty, lqr.curvature_rate_penalty
+    )
+    n = velocity.shape[1]
+    ref_vel = velocity[:, min(t + H, n - 1)]
+    win = np.minimum(t + np.arange(H), n - 1)
+    curv_win = curvature[:, win]
+    return lqr_track_step(
+        lqr, get_pacifica_parameters().wheel_base, current, proposals[:, t], ref_vel, curv_win
+    )
+
+
+@pytest.mark.parametrize("t", [0, 5, 20, 33, 39])
+def test_lqr_tracker_step_differential(t):
+    """Per-step accel/steering-rate commands vs the reference tracker,
+    including lookahead clamping (t=33, 39) and the should_stop branch."""
+    import jax
+
+    state_repr = sys.modules.get("nuplan.common.actor_state.state_representation")
+
+    dt, N = 0.1, 40
+    rng = np.random.default_rng(100 + t)
+    proposals = _proposal_batch(rng, batch=64, time=N + 1)
+    # Perturbed "simulated" states at time t: real rollouts track imperfectly.
+    current = proposals[:, t].copy()
+    current[:, :3] += rng.normal(0, [0.5, 0.5, 0.05], (64, 3))
+    current[:, 3] = np.clip(current[:, 3] + rng.normal(0, 0.5, 64), 0.0, None)
+    current[:, 7] = rng.uniform(-0.3, 0.3, 64)
+    current[-8:, 3] = rng.uniform(0.0, 0.19, 8)  # force both stop conditions
+
+    tracker = _reference_tracker(dt)
+    state_repr = sys.modules["nuplan.common.actor_state.state_representation"]
+    sim_iter = sys.modules[
+        "nuplan.planning.simulation.simulation_time_controller.simulation_iteration"
+    ]
+    tracker.update(proposals.copy())
+    want = tracker.track_trajectory(
+        sim_iter.SimulationIteration(state_repr.TimePoint(int(t * dt * 1e6)), t),
+        sim_iter.SimulationIteration(state_repr.TimePoint(int((t + 1) * dt * 1e6)), t + 1),
+        current.copy(),
+    )  # (B, 2): [accel, steering_rate]
+
+    with jax.enable_x64(True):
+        accel, steer_rate = _our_track_commands(proposals, current, t, dt)
+    np.testing.assert_allclose(np.asarray(accel), want[:, 0], atol=1e-9, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(steer_rate), want[:, 1], atol=1e-9, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_simulate_proposals_rollout_differential(seed):
+    """Full 41-step tracked rollout: our scan-based PDMSimulator vs the
+    reference BatchLQRTracker + BatchKinematicBicycleModel stepped exactly as
+    the reference `pdm_simulator.py:62-79` loop does (128 proposals x 3 seeds,
+    driving + stationary mix)."""
+    import jax
+
+    ref_lqr = _import_reference(f"{_PDM}.simulation.batch_lqr")
+    ref_bike = _import_reference(f"{_PDM}.simulation.batch_kinematic_bicycle")
+    state_repr = sys.modules["nuplan.common.actor_state.state_representation"]
+    sim_iter = sys.modules[
+        "nuplan.planning.simulation.simulation_time_controller.simulation_iteration"
+    ]
+
+    from diffusiondrive_tpu.common.dataclasses import TrajectorySampling
+    from diffusiondrive_tpu.evaluate.simulator import PDMSimulator
+
+    dt, N, B = 0.1, 40, 128
+    rng = np.random.default_rng(2000 + seed)
+    proposals = _proposal_batch(rng, B, N + 1)
+    init = proposals[0, 0].copy()
+    init[3] = 0.15 if seed == 2 else init[3]  # seed 2: near-stopped initial ego
+
+    # Reference rollout, hand-stepped like pdm_simulator.simulate_proposals
+    tracker = ref_lqr.BatchLQRTracker()
+    tracker._discretization_time = dt
+    tracker.update(proposals[:, : N + 1].copy())
+    model = ref_bike.BatchKinematicBicycleModel()
+    want = np.zeros((B, N + 1, 11), dtype=np.float64)
+    want[:, 0] = init
+    for t in range(1, N + 1):
+        cmd = tracker.track_trajectory(
+            sim_iter.SimulationIteration(state_repr.TimePoint(int((t - 1) * dt * 1e6)), t - 1),
+            sim_iter.SimulationIteration(state_repr.TimePoint(int(t * dt * 1e6)), t),
+            want[:, t - 1].copy(),
+        )
+        want[:, t] = model.propagate_state(
+            want[:, t - 1].copy(), cmd, state_repr.TimePoint(int(dt * 1e6))
+        )
+
+    sim = PDMSimulator(TrajectorySampling(num_poses=N, interval_length=dt))
+    with jax.enable_x64(True):
+        got = np.asarray(sim.simulate_proposals(proposals, init))
+
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
 
 
 # --------------------------------------------------------------------------- #
