@@ -289,6 +289,12 @@ def bn_eval_affine(bn_apply, channels: int, dtype) -> tuple:
         return s, b
     # Non-BatchNorm affine layer: fall back to probe differencing with a
     # large probe so the subtraction is conditioned (K·scale >> bias).
+    # Probing runs at module dtype, so this path is only exact for f32
+    # modules — a bf16 module would carry ~0.4% relative scale error, which
+    # would silently break the exactness contract above.
+    assert jnp.dtype(dtype) == jnp.float32, (
+        f"bn_eval_affine probe-differencing fallback requires an f32 module, got {dtype}"
+    )
     k = jnp.asarray(4096.0, dtype)
     b = probe.astype(jnp.float32)
     s = (bn_apply(jnp.full(shape, k, dtype)).reshape(channels).astype(jnp.float32) - b) / 4096.0

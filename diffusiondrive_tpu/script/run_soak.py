@@ -145,8 +145,11 @@ def run_soak(steps: int = 200, batch: int = 8, pool: int = 4, checkpoint_every: 
     # ---- assertions -------------------------------------------------------
     failures: list[str] = []
 
-    cache_size = trainer._step_fn._cache_size()
-    if cache_size != 1:
+    # `_cache_size` is a private jax.jit internal; degrade to "unknown" (and
+    # skip the recompile check) if a JAX upgrade removes it.
+    cache_size_fn = getattr(trainer._step_fn, "_cache_size", None)
+    cache_size = cache_size_fn() if callable(cache_size_fn) else "unknown"
+    if cache_size != "unknown" and cache_size != 1:
         failures.append(f"train step compiled {cache_size} times (expected 1)")
 
     rows = [json.loads(line) for line in metrics_path.read_text().splitlines()]

@@ -127,7 +127,19 @@ def synthetic_driving_trajectories(
                  rng.choice([-1.0, 1.0], n) * rng.uniform(0.03, 0.10, n)))
     # tight turns happen at low speed (lateral-accel comfort bound ~3 m/s^2)
     v_max_lat = np.sqrt(3.0 / np.maximum(np.abs(kappa), 1e-6))
-    v0 = np.minimum(v0, v_max_lat)
+
+    # Keep rollouts inside the normalization box BY CONSTRUCTION (no post-hoc
+    # position clipping, which piles probability mass on the box edge and
+    # flattens clipped arcs into kinematically inconsistent shapes):
+    # - longitudinal: v <= 13.5 m/s keeps x_end <= 13.5 * 4 s = 54 < 55;
+    # - lateral: an arc of length L on radius R=1/|kappa| reaches at most
+    #   R(1-cos(L/R)) laterally, so cap L (hence v) to keep |y| < 19.5.
+    horizon = num_poses * dt
+    radius = 1.0 / np.maximum(np.abs(kappa), 1e-6)
+    arc_max = radius * np.arccos(np.clip(1.0 - 19.5 / radius, -1.0, 1.0))
+    v_cap = np.minimum(13.5, np.minimum(v_max_lat, arc_max / horizon))
+    v0 = np.minimum(v0, v_cap)
+    accel = np.minimum(accel, (v_cap - v0) / horizon)
 
     steps = 10  # integrate at 0.05 s then subsample to the 0.5 s pose grid
     h = dt / steps
@@ -138,13 +150,10 @@ def synthetic_driving_trajectories(
     poses = np.zeros((n, num_poses, 2), np.float64)
     for p in range(num_poses):
         for _ in range(steps):
-            v = np.clip(v + accel * h, 0.0, 15.0)
+            v = np.minimum(np.clip(v + accel * h, 0.0, None), v_cap)
             x = x + v * np.cos(psi) * h
             y = y + v * np.sin(psi) * h
             psi = psi + kappa * v * h
         poses[:, p, 0] = x
         poses[:, p, 1] = y
-    # keep strictly inside the normalization box
-    poses[..., 0] = np.clip(poses[..., 0], -1.0, 55.0)
-    poses[..., 1] = np.clip(poses[..., 1], -19.5, 25.5)
     return poses.astype(np.float32)

@@ -98,7 +98,10 @@ def test_default_anchor_asset_matches_regeneration():
     asset = Path(diffusiondrive_tpu.__file__).parent / "assets" / "default_plan_anchors.npy"
     shipped = np.load(asset)
     regen = kmeans_plan_anchors(synthetic_driving_trajectories(), 20)
-    np.testing.assert_array_equal(shipped, regen)
+    # allclose, not array_equal: numpy reduction-order changes across
+    # versions/platforms can perturb the f64 k-means in the last ulps even
+    # though the asset is semantically identical.
+    np.testing.assert_allclose(shipped, regen, rtol=1e-5, atol=1e-5)
 
 
 def test_synthetic_driving_prior_statistics():
