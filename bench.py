@@ -277,7 +277,8 @@ def _bench_e2e_eval(num_tokens: int = 512, batch_size: int = 128) -> float:
 
 def _bench_e2e_sensors(num_tokens: int = 48, batch_size: int = 16):
     """(auto, forced-overlap) scenes/s through `run_pdm_score_evaluation` with
-    the FULL sensor path: per token, 8 x 1080p jpeg decodes + pcd parse +
+    the FULL sensor path: per token, 1080p jpeg decodes (the consumed
+    l0/f0/r0 subset per the agent's SensorConfig) + pcd parse +
     crop/stitch/resize + BEV histogram on host, then the production
     DiffusionDrive forward (2-step truncated DDIM) and batched simulate+score
     on device — the reference's 45-FPS measurement condition (feature

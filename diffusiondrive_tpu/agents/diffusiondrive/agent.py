@@ -159,8 +159,18 @@ class DiffusionDriveAgent(AbstractAgent):
             self.variables = {**self.variables, "constants": constants}
 
     def get_sensor_config(self) -> SensorConfig:
-        # all sensors, current frame only (`transfuser_agent.py:108-110`)
-        return SensorConfig.build_all_sensors(include=[3])
+        # Exactly the sensors the feature builder consumes, current frame
+        # only: stitched l0/f0/r0 cameras + lidar (`features.py:58-61`;
+        # reference `transfuser_features.py:64-77`). The reference loads all
+        # 8 cameras (`transfuser_agent.py:108-110`) and throws 5 away — on
+        # the host-bound eval path ~5/8 of the 1080p jpeg decodes per token
+        # were pure waste. Agents that need every sensor can still use
+        # `SensorConfig.build_all_sensors`.
+        return SensorConfig(
+            cam_f0=[3], cam_l0=[3], cam_l1=False, cam_l2=False,
+            cam_r0=[3], cam_r1=False, cam_r2=False, cam_b0=False,
+            lidar_pc=[3],
+        )
 
     def get_feature_builders(self) -> List[AbstractFeatureBuilder]:
         if self._preprocess_on_device:

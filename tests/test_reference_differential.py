@@ -50,6 +50,7 @@ def _install_nuplan_stub() -> None:
 
     def mod(name: str) -> types.ModuleType:
         m = types.ModuleType(name)
+        m.__path__ = []  # mark as a package so `import pkg.sub` traversal works
         sys.modules[name] = m
         return m
 
@@ -141,16 +142,132 @@ def _install_nuplan_stub() -> None:
 
     sim_iter.SimulationIteration = SimulationIteration
 
+    # ---- extra import-only stubs for the agent loss/feature modules ------ #
+    # (`transfuser_config.py`, `transfuser_features.py`, `transfuser_loss.py`
+    # import these at module level but the diffed numerics never call them;
+    # enum VALUES are arbitrary — they only select bev/box classes at target-
+    # build time, which is not under differential test here.)
+    import enum
+
+    maps = mod("nuplan.common.maps")
+    abstract_map = mod("nuplan.common.maps.abstract_map")
+
+    class SemanticMapLayer(enum.IntEnum):
+        LANE = 0
+        INTERSECTION = 1
+        STOP_LINE = 2
+        CROSSWALK = 3
+        DRIVABLE_AREA = 4
+        LANE_CONNECTOR = 5
+        BASELINE_PATHS = 6
+        WALKWAYS = 7
+        CARPARK_AREA = 8
+        ROADBLOCK = 9
+        ROADBLOCK_CONNECTOR = 10
+
+    abstract_map.SemanticMapLayer = SemanticMapLayer
+    abstract_map.AbstractMap = type("AbstractMap", (), {})
+    abstract_map.MapObject = type("MapObject", (), {})
+    map_factory = mod("nuplan.common.maps.nuplan_map.map_factory")
+
+    def get_maps_api(*a, **k):
+        raise RuntimeError("nuplan map API not available in the test stub")
+
+    map_factory.get_maps_api = get_maps_api
+
+    tot = mod("nuplan.common.actor_state.tracked_objects_types")
+
+    class TrackedObjectType(enum.IntEnum):
+        VEHICLE = 0
+        PEDESTRIAN = 1
+        BICYCLE = 2
+        TRAFFIC_CONE = 3
+        BARRIER = 4
+        CZONE_SIGN = 5
+        GENERIC_OBJECT = 6
+        EGO = 7
+
+    tot.TrackedObjectType = TrackedObjectType
+    tot.AGENT_TYPES = {TrackedObjectType.VEHICLE, TrackedObjectType.PEDESTRIAN,
+                       TrackedObjectType.BICYCLE}
+    for leaf, names in (
+        ("oriented_box", ["OrientedBox"]),
+        ("agent", ["Agent"]),
+        ("scene_object", ["SceneObjectMetadata"]),
+        ("static_object", ["StaticObject"]),
+        ("tracked_objects", ["TrackedObjects", "TrackedObject"]),
+    ):
+        m = mod(f"nuplan.common.actor_state.{leaf}")
+        for n in names:
+            setattr(m, n, type(n, (), {}))
+
+    traj_sampling = mod("nuplan.planning.simulation.trajectory.trajectory_sampling")
+
+    class TrajectorySampling:
+        def __init__(self, num_poses=None, time_horizon=None, interval_length=None):
+            if num_poses is None and time_horizon and interval_length:
+                num_poses = int(round(time_horizon / interval_length))
+            elif time_horizon is None and num_poses and interval_length:
+                time_horizon = num_poses * interval_length
+            elif interval_length is None and num_poses and time_horizon:
+                interval_length = time_horizon / num_poses
+            self.num_poses, self.time_horizon, self.interval_length = (
+                num_poses, time_horizon, interval_length)
+
+    traj_sampling.TrajectorySampling = TrajectorySampling
+    obs_type = mod("nuplan.planning.simulation.observation.observation_type")
+    obs_type.DetectionsTracks = type("DetectionsTracks", (), {})
+    gpkg = mod("nuplan.database.maps_db.gpkg_mapsdb")
+    gpkg.MAP_LOCATIONS = frozenset(
+        {"sg-one-north", "us-ma-boston", "us-nv-las-vegas-strip", "us-pa-pittsburgh-hazelwood"})
+    pc_lidar = mod("nuplan.database.utils.pointclouds.lidar")
+    pc_lidar.LidarPointCloud = type("LidarPointCloud", (), {})
+
     nuplan.common = common
     common.actor_state = actor_state
     common.geometry = geometry
+    common.maps = maps
     nuplan.planning = planning
     planning.simulation = sim
     sim.simulation_time_controller = stc
 
 
+def _install_import_only_stubs() -> None:
+    """Stub torchvision/shapely/pyquaternion (absent from this image) just
+    enough for `transfuser_features.py` to import; nothing stubbed here is
+    ever *called* by the modules under differential test."""
+    for name in ("torchvision", "shapely", "pyquaternion"):
+        if name in sys.modules or importlib.util.find_spec(name) is not None:
+            continue
+        m = types.ModuleType(name)
+        m.__path__ = []
+        sys.modules[name] = m
+        if name == "torchvision":
+            tr = types.ModuleType("torchvision.transforms")
+
+            class ToTensor:
+                def __call__(self, img):
+                    raise RuntimeError("torchvision stub: ToTensor not available")
+
+            tr.ToTensor = ToTensor
+            sys.modules["torchvision.transforms"] = tr
+            m.transforms = tr
+        elif name == "shapely":
+            aff = types.ModuleType("shapely.affinity")
+            geo = types.ModuleType("shapely.geometry")
+            geo.Polygon = type("Polygon", (), {})
+            geo.LineString = type("LineString", (), {})
+            sys.modules["shapely.affinity"] = aff
+            sys.modules["shapely.geometry"] = geo
+            m.affinity = aff
+            m.geometry = geo
+        elif name == "pyquaternion":
+            m.Quaternion = type("Quaternion", (), {})
+
+
 def _import_reference(dotted: str):
     _install_nuplan_stub()
+    _install_import_only_stubs()
     if str(REFERENCE_ROOT) not in sys.path:
         sys.path.insert(0, str(REFERENCE_ROOT))
     return importlib.import_module(dotted)
@@ -451,6 +568,258 @@ def test_simulate_proposals_rollout_differential(seed):
         got = np.asarray(sim.simulate_proposals(proposals, init))
 
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# 3c. Training losses, grid sample, LR schedule (agents/diffusiondrive)
+# --------------------------------------------------------------------------- #
+
+_AGENTS = "navsim.agents.diffusiondrive"
+
+
+def test_focal_loss_differential():
+    """`multimodal_loss.py:py_sigmoid_focal_loss` vs ours on random logits."""
+    ref = _import_reference(f"{_AGENTS}.modules.multimodal_loss")
+    import torch
+
+    import jax
+
+    from diffusiondrive_tpu.training.losses import sigmoid_focal_loss
+
+    rng = np.random.default_rng(31)
+    logits = rng.normal(0, 2.0, (64, 20))
+    onehot = np.zeros((64, 20))
+    onehot[np.arange(64), rng.integers(0, 20, 64)] = 1.0
+
+    want = ref.py_sigmoid_focal_loss(
+        torch.tensor(logits), torch.tensor(onehot), gamma=2.0, alpha=0.25, reduction="mean"
+    ).item()
+    with jax.enable_x64(True):
+        got = float(sigmoid_focal_loss(jnp_f64(logits), jnp_f64(onehot)))
+    np.testing.assert_allclose(got, want, atol=1e-12, rtol=1e-12)
+
+
+def jnp_f64(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.float64)
+
+
+def test_loss_computer_differential():
+    """`multimodal_loss.py:LossComputer.forward` (nearest-anchor mode
+    assignment + focal cls + best-mode L1) vs `single_layer_trajectory_loss`."""
+    ref = _import_reference(f"{_AGENTS}.modules.multimodal_loss")
+    import torch
+
+    import jax
+
+    from diffusiondrive_tpu.training.losses import single_layer_trajectory_loss
+
+    cfg = types.SimpleNamespace(trajectory_cls_weight=10.0, trajectory_reg_weight=8.0)
+    computer = ref.LossComputer(cfg)
+
+    rng = np.random.default_rng(37)
+    B, M, P = 16, 20, 8
+    poses_reg = rng.normal(0, 5.0, (B, M, P, 3))
+    poses_cls = rng.normal(0, 1.0, (B, M))
+    anchors = rng.normal(0, 10.0, (B, M, P, 2))
+    target = rng.normal(0, 5.0, (B, P, 3))
+
+    want = computer.forward(
+        torch.tensor(poses_reg), torch.tensor(poses_cls),
+        {"trajectory": torch.tensor(target)}, torch.tensor(anchors),
+    ).item()
+    with jax.enable_x64(True):
+        got = float(single_layer_trajectory_loss(
+            jnp_f64(poses_reg), jnp_f64(poses_cls), jnp_f64(target), jnp_f64(anchors), cfg
+        ))
+    np.testing.assert_allclose(got, want, atol=1e-8, rtol=1e-8)
+
+
+def test_agent_loss_differential():
+    """`transfuser_loss.py:_agent_loss` (Hungarian matching over CE+L1 cost
+    matrices, matched BCE + masked L1) vs `agent_detection_loss` — pins our
+    pure-JAX LAP + cost construction against scipy `linear_sum_assignment`
+    driven by the reference's own cost code."""
+    ref = _import_reference(f"{_AGENTS}.transfuser_loss")
+    import torch
+
+    import jax
+
+    from diffusiondrive_tpu.training.losses import agent_detection_loss
+
+    cfg = types.SimpleNamespace(latent=False, agent_class_weight=10.0, agent_box_weight=1.0)
+
+    rng = np.random.default_rng(41)
+    B, N = 12, 30
+    gt_states = rng.normal(0, 15.0, (B, N, 5))
+    gt_valid = (rng.uniform(size=(B, N)) < 0.4).astype(np.float64)
+    # Margin-robust predictions (permuted GTs + noise): our LAP runs f32 by
+    # design (`ops/hungarian.py:57`, the TPU kernel contract), so matchings on
+    # iid random costs can legally differ from scipy-on-f64 via near-ties.
+    # The raw cost matrices are pinned below at 1e-12 in f64 instead.
+    perm = np.stack([rng.permutation(N) for _ in range(B)])
+    pred_states = np.take_along_axis(gt_states, perm[..., None], axis=1) + rng.normal(0, 0.3, (B, N, 5))
+    # logits correlated with the matched gt's validity (as a trained
+    # detector's are) — removes valid-vs-invalid column near-ties too
+    src_valid = np.take_along_axis(gt_valid, perm, axis=1)
+    pred_logits = np.where(src_valid > 0, 3.0, -3.0) + rng.normal(0, 0.5, (B, N))
+
+    import torch as _t
+
+    import jax as _jax
+
+    from diffusiondrive_tpu.training.losses import _ce_cost, _l1_cost
+
+    with _jax.enable_x64(True):
+        np.testing.assert_allclose(
+            np.asarray(_ce_cost(jnp_f64(gt_valid), jnp_f64(pred_logits))),
+            ref._get_ce_cost(_t.tensor(gt_valid), _t.tensor(pred_logits)).numpy(),
+            atol=1e-12, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(_l1_cost(jnp_f64(gt_states), jnp_f64(pred_states), jnp_f64(gt_valid))),
+            ref._get_l1_cost(_t.tensor(gt_states), _t.tensor(pred_states), _t.tensor(gt_valid)).numpy(),
+            atol=1e-12, rtol=1e-12)
+
+    want_ce, want_l1 = ref._agent_loss(
+        {"agent_states": torch.tensor(gt_states), "agent_labels": torch.tensor(gt_valid)},
+        {"agent_states": torch.tensor(pred_states), "agent_labels": torch.tensor(pred_logits)},
+        cfg,
+    )
+    with jax.enable_x64(True):
+        got_ce, got_l1 = agent_detection_loss(
+            {"agent_states": jnp_f64(gt_states), "agent_labels": jnp_f64(gt_valid)},
+            {"agent_states": jnp_f64(pred_states), "agent_labels": jnp_f64(pred_logits)},
+            cfg,
+        )
+    # agent_detection_loss casts its inputs to f32 internally (the training
+    # contract); f32-level agreement is the correct bar for the reductions
+    np.testing.assert_allclose(float(got_ce), want_ce.item(), atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(got_l1), want_l1.item(), atol=1e-6, rtol=1e-6)
+
+
+def test_transfuser_loss_full_differential():
+    """The complete `transfuser_loss` dict (trajectory L1 + Hungarian agent
+    loss + BEV CE, weighted sum) vs ours on identical random inputs."""
+    ref = _import_reference(f"{_AGENTS}.transfuser_loss")
+    import torch
+
+    import jax
+
+    from diffusiondrive_tpu.models.config import TransfuserConfig
+    from diffusiondrive_tpu.training.losses import transfuser_loss
+
+    ours_cfg = TransfuserConfig()
+    ref_cfg = types.SimpleNamespace(
+        latent=False,
+        trajectory_weight=ours_cfg.trajectory_weight,
+        agent_class_weight=ours_cfg.agent_class_weight,
+        agent_box_weight=ours_cfg.agent_box_weight,
+        bev_semantic_weight=ours_cfg.bev_semantic_weight,
+        diff_loss_weight=0.0,
+    )
+
+    rng = np.random.default_rng(43)
+    B, N, P, H, W, C = 4, 30, 8, 16, 32, 7
+    # Predictions = permuted GTs + small noise (what a trained detector emits):
+    # the optimal matching then has a margin ~ inter-box distance (>> f32 eps),
+    # so our f32-upcast loss pipeline and torch's f64 cost matrices agree on
+    # the assignment. Exact cost/assignment numerics are pinned in f64 by
+    # test_agent_loss_differential; this test checks the aggregation.
+    gt_states = rng.normal(0, 15.0, (B, N, 5))
+    perm = np.stack([rng.permutation(N) for _ in range(B)])
+    pred_states = np.take_along_axis(gt_states, perm[..., None], axis=1) + rng.normal(0, 0.3, (B, N, 5))
+    data = dict(
+        traj_gt=rng.normal(0, 5.0, (B, P, 3)),
+        traj_pred=rng.normal(0, 5.0, (B, P, 3)),
+        gt_states=gt_states,
+        gt_valid=(rng.uniform(size=(B, N)) < 0.4).astype(np.float64),
+        pred_states=pred_states,
+        pred_logits=rng.normal(0, 1.5, (B, N)),
+        bev_logits=rng.normal(0, 2.0, (B, H, W, C)),
+        bev_labels=rng.integers(0, C, (B, H, W)),
+    )
+
+    want = ref.transfuser_loss(
+        {"trajectory": torch.tensor(data["traj_gt"]),
+         "agent_states": torch.tensor(data["gt_states"]),
+         "agent_labels": torch.tensor(data["gt_valid"]),
+         "bev_semantic_map": torch.tensor(data["bev_labels"])},
+        {"trajectory": torch.tensor(data["traj_pred"]),
+         "agent_states": torch.tensor(data["pred_states"]),
+         "agent_labels": torch.tensor(data["pred_logits"]),
+         "bev_semantic_map": torch.tensor(data["bev_logits"]).permute(0, 3, 1, 2)},
+        ref_cfg,
+    )
+    with jax.enable_x64(True):
+        got = transfuser_loss(
+            {"trajectory": jnp_f64(data["traj_gt"]),
+             "agent_states": jnp_f64(data["gt_states"]),
+             "agent_labels": jnp_f64(data["gt_valid"]),
+             "bev_semantic_map": jnp_f64(data["bev_labels"]).astype(np.int32)},
+            {"trajectory": jnp_f64(data["traj_pred"]),
+             "agent_states": jnp_f64(data["pred_states"]),
+             "agent_labels": jnp_f64(data["pred_logits"]),
+             "bev_semantic_map": jnp_f64(data["bev_logits"])},
+            ours_cfg,
+        )
+    for key in ("loss", "trajectory_loss", "agent_class_loss", "agent_box_loss",
+                "bev_semantic_loss"):
+        # our pipeline upcasts predictions to f32 on entry (bf16-mixed
+        # training contract), so f32-level agreement is the correct bar here
+        np.testing.assert_allclose(float(got[key]), want[key].item(), atol=1e-4, rtol=2e-5,
+                                   err_msg=key)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_differential(align_corners):
+    """torch `F.grid_sample` (bilinear, zero padding) vs `grid_sample_2d` —
+    the exact op under `blocks.py:GridSampleCrossBEVAttention`, incl.
+    out-of-bounds coordinates past the zero-padding border."""
+    import torch
+
+    import jax
+
+    from diffusiondrive_tpu.ops.sampling import grid_sample_2d
+
+    rng = np.random.default_rng(47)
+    N, H, W, C = 3, 16, 24, 8
+    Hg, Wg = 21, 20
+    value = rng.normal(0, 1.0, (N, H, W, C))
+    grid = rng.uniform(-1.4, 1.4, (N, Hg, Wg, 2))  # ~15% out of bounds
+
+    want = torch.nn.functional.grid_sample(
+        torch.tensor(value).permute(0, 3, 1, 2), torch.tensor(grid),
+        mode="bilinear", padding_mode="zeros", align_corners=align_corners,
+    ).permute(0, 2, 3, 1).numpy()
+    with jax.enable_x64(True):
+        got = np.asarray(grid_sample_2d(jnp_f64(value), jnp_f64(grid), align_corners))
+    np.testing.assert_allclose(got, want, atol=1e-12, rtol=1e-12)
+
+
+def test_warmup_cos_lr_differential():
+    """`modules/scheduler.py:WarmupCosLR.get_lr` (the reference's own math,
+    driven per epoch) vs our optax schedule. The object is built with
+    `__new__` because the reference's `__init__` passes the `verbose`
+    positional that torch >= 2.4 removed from `_LRScheduler` — `get_lr`
+    itself, the logic under test, is executed verbatim."""
+    ref = _import_reference(f"{_AGENTS}.modules.scheduler")
+
+    from diffusiondrive_tpu.training.scheduler import warmup_cos_lr
+
+    lr, min_lr, epochs, warmup = 6e-4, 1e-6, 100, 3
+    sched = ref.WarmupCosLR.__new__(ref.WarmupCosLR)
+    sched.min_lr, sched.lr, sched.epochs, sched.warmup_epochs = min_lr, lr, epochs, warmup
+    sched.optimizer = types.SimpleNamespace(param_groups=[{}])  # no lr_scale
+    ours = warmup_cos_lr(lr=lr, min_lr=min_lr, epochs=epochs, warmup_epochs=warmup)
+
+    for epoch in range(epochs):
+        sched.last_epoch = epoch
+        (want,) = sched.get_lr()
+        got = float(ours(epoch))
+        # our schedule computes in f32 inside the jitted step; f32-level
+        # agreement (plus an atol floor near min_lr) is the correct bar
+        np.testing.assert_allclose(got, want, atol=1e-9, rtol=2e-5, err_msg=f"epoch {epoch}")
 
 
 # --------------------------------------------------------------------------- #
