@@ -52,7 +52,13 @@ class TransfuserFeatureBuilder(AbstractFeatureBuilder):
         }
 
     def _get_camera_feature(self, agent_input: AgentInput) -> np.ndarray:
-        """Stitched (256, 1024, 3) float32 front view in [0, 1]."""
+        """Stitched (256, 1024, 3) uint8 front view.
+
+        Kept uint8 end-to-end: the model normalizes to [0, 1] in-graph
+        (`transfuser_model.py:DiffusionDriveModel.__call__`), so the
+        host->device copy and the on-disk feature cache move/store 1 byte/px
+        instead of a float32 (4x), which dominates the sensor-path eval cost
+        through a slow interconnect."""
         import cv2
 
         cameras = agent_input.cameras[-1]
@@ -60,8 +66,7 @@ class TransfuserFeatureBuilder(AbstractFeatureBuilder):
         f0 = cameras.cam_f0.image[28:-28]
         r0 = cameras.cam_r0.image[28:-28, 416:-416]
         stitched = np.concatenate([l0, f0, r0], axis=1)
-        resized = cv2.resize(stitched, (self._config.camera_width, self._config.camera_height))
-        return (resized.astype(np.float32) / 255.0)
+        return cv2.resize(stitched, (self._config.camera_width, self._config.camera_height))
 
     def _get_lidar_feature(self, agent_input: AgentInput) -> np.ndarray:
         """(256, 256, C) histogram splat (`transfuser_features.py:79-138`)."""

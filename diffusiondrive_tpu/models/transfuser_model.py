@@ -90,6 +90,15 @@ class DiffusionDriveModel(nn.Module):
         B = status_feature.shape[0]
         num_queries = 1 + cfg.num_bounding_boxes
 
+        # Accept uint8 cameras and normalize IN-GRAPH: the host->device copy
+        # then moves 1 byte/px instead of 4 — through this image's ~50 MB/s
+        # TPU tunnel the b16 camera batch drops 50 MB -> 12.5 MB per launch
+        # (the dominant cost of the sensor-path forward), and feature caches
+        # shrink 4x. Float inputs pass through unchanged (training fixtures,
+        # the raw on-device-preprocess path).
+        if camera_feature.dtype == jnp.uint8:
+            camera_feature = camera_feature.astype(jnp.float32) / 255.0
+
         bev_upscale, bev_feature = TransfuserBackbone(cfg, dtype=self.dtype, name="backbone")(
             camera_feature, lidar_feature, train=train
         )

@@ -62,6 +62,8 @@ class BEVVisualizationCallback:
 
         if "camera_feature" in batch:
             for i in range(n):
-                img = (np.asarray(batch["camera_feature"][i]) * 255).astype(np.uint8)
+                img = np.asarray(batch["camera_feature"][i])
+                if img.dtype != np.uint8:  # float [0, 1] fixtures
+                    img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
                 plt.imsave(out_dir / f"camera_{i}.png", img)
         logger.info("wrote %d visualization tiles to %s", n, out_dir)

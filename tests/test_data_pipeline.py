@@ -54,8 +54,9 @@ def test_transfuser_feature_builder(synthetic_log):
     config = TransfuserConfig()
     features = TransfuserFeatureBuilder(config).compute_features(agent_input)
     assert features["camera_feature"].shape == (256, 1024, 3)
-    assert features["camera_feature"].dtype == np.float32
-    assert 0.0 <= features["camera_feature"].min() and features["camera_feature"].max() <= 1.0
+    # uint8 end-to-end: the model normalizes to [0, 1] in-graph, so the H2D
+    # copy and feature cache move 1 byte/px instead of a float32
+    assert features["camera_feature"].dtype == np.uint8
     assert features["lidar_feature"].shape == (256, 256, 1)
     assert features["lidar_feature"].max() <= 1.0 and features["lidar_feature"].sum() > 0
     assert features["status_feature"].shape == (8,)

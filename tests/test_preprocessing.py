@@ -131,7 +131,7 @@ def test_raw_builder_matches_host_builder(synthetic_log):
             jnp.asarray(raw["camera_r0"][None]),
         )
     )[0]
-    assert np.abs(camera_dev - host["camera_feature"]).max() < 1.5 / 255.0
+    assert np.abs(camera_dev - host["camera_feature"].astype(np.float32) / 255.0).max() < 1.5 / 255.0
 
     lidar_dev = np.asarray(
         lidar_bev(jnp.asarray(raw["lidar_points"][None]), jnp.asarray(raw["lidar_valid"][None]), config)
