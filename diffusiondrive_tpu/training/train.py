@@ -123,14 +123,16 @@ def create_train_state(
     return state, tx
 
 
-def make_train_step(
-    model, config: TransfuserConfig, tx: optax.GradientTransformation,
-    ema_decay: Optional[float] = None,
-) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the (unjitted) train step; jit/shard it with `shard_train_step`."""
+def make_loss_fn(model, config: TransfuserConfig) -> Callable:
+    """The train-path loss: forward (train=True, mutable batch stats) + the
+    full `transfuser_loss` suite, with the per-step rng folding the train
+    step uses. Shared by `make_train_step` and the multichip dryrun's
+    1-device golden-loss recomputation (`__graft_entry__.dryrun_multichip`),
+    so the two can never diverge."""
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        step_rng = jax.random.fold_in(rng, state.step)
+    def loss_fn(params, batch_stats, constants, batch: Dict[str, jnp.ndarray],
+                rng: jax.Array, step: jnp.ndarray):
+        step_rng = jax.random.fold_in(rng, step)
         diffusion_rng, dropout_rng = jax.random.split(step_rng)
         targets = {
             "trajectory": batch["trajectory"],
@@ -138,22 +140,33 @@ def make_train_step(
             "agent_labels": batch["agent_labels"],
             "bev_semantic_map": batch["bev_semantic_map"],
         }
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats, "constants": constants},
+            batch["camera_feature"],
+            batch["lidar_feature"],
+            batch["status_feature"],
+            targets=targets,
+            train=True,
+            rngs={"diffusion": diffusion_rng, "dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        loss_dict = transfuser_loss(targets, outputs, config)
+        return loss_dict["loss"], (loss_dict, mutated.get("batch_stats", batch_stats))
 
-        def loss_fn(params):
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats, "constants": state.constants},
-                batch["camera_feature"],
-                batch["lidar_feature"],
-                batch["status_feature"],
-                targets=targets,
-                train=True,
-                rngs={"diffusion": diffusion_rng, "dropout": dropout_rng},
-                mutable=["batch_stats"],
-            )
-            loss_dict = transfuser_loss(targets, outputs, config)
-            return loss_dict["loss"], (loss_dict, mutated.get("batch_stats", state.batch_stats))
+    return loss_fn
 
-        grads, (loss_dict, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+
+def make_train_step(
+    model, config: TransfuserConfig, tx: optax.GradientTransformation,
+    ema_decay: Optional[float] = None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the (unjitted) train step; jit/shard it with `shard_train_step`."""
+
+    loss_fn = make_loss_fn(model, config)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        grads, (loss_dict, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.constants, batch, rng, state.step)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params

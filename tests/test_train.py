@@ -13,6 +13,7 @@ from diffusiondrive_tpu.training.train import (
     _param_labels,
     create_train_state,
     make_train_step,
+    replicate_state,
     shard_train_step,
 )
 
@@ -93,6 +94,101 @@ def test_sharded_train_step_two_steps():
     assert not np.allclose(p_before, p_after)
     for key in ("trajectory_loss", "agent_class_loss", "agent_box_loss", "bev_semantic_loss"):
         assert np.isfinite(float(metrics2[key]))
+
+
+def test_train_step_mesh_equivalence():
+    """One sharded train step on the 8-device mesh == the 1-device step.
+
+    Same params, same batch, same rng: loss components, new batch stats and
+    updated params must match across meshes. This pins the DDP gradient-sync
+    semantics (reference `agent_lightning_module.py:35`) and the hand-written
+    `custom_partitioning` batch rules the loss path crosses
+    (`ops/batch_partition.py` under the Pallas Hungarian inside
+    `transfuser_loss`): every real partition bug — a dropped shard, a wrong
+    axis, a missing or doubled gradient all-reduce — shifts the loss and/or
+    every gradient by O(1) relative and fails the bounds below by orders of
+    magnitude.
+
+    Tolerances are two-tier because the loss has DISCRETE selectors
+    (Hungarian assignment, nearest-anchor argmin) fed by near-tied costs:
+    at any near-init state the per-query predictions are strongly correlated,
+    so the ~1e-6-rel fp-reorder noise of the 8-way BN/global reductions can
+    flip an assignment. Measured on this exact setup (two seeds): only
+    `agent_box_loss` moves (3e-4..1.1e-3 rel — the flipped pair's L1 terms),
+    every other component stays at <=3e-6 rel, and with plain SGD the
+    flip+reorder gradient noise bounds the param diff at lr * 1.2. The test
+    uses SGD (not AdamW) deliberately: Adam's step-0 update g/(|g|+eps) is
+    scale-free, so even 1e-9 gradient noise near zero-crossings becomes a
+    full-lr param diff — with SGD the param bound stays interpretable as
+    lr * ||grad diff||_inf. Perturbing params (scale 0.05) decorrelates the
+    queries enough to keep losses in a sane regime (scale 0.2 measured
+    chaotic: loss 1e5, class-cost flips everywhere).
+    """
+    import optax
+
+    config = tiny_config()
+    model = DiffusionDriveModel(config)
+    batch = make_batch(16, seed=3)
+    rng = jax.random.PRNGKey(1)
+    lr = 1e-3
+    tx = optax.sgd(lr)
+
+    def perturb(params, key, scale=0.05):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(key, len(leaves))
+        out = [p + scale * jax.random.normal(k, p.shape, p.dtype)
+               for p, k in zip(leaves, keys)]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    results = {}
+    for name, devs in (("dev1", jax.devices()[:1]), ("dev8", jax.devices()[:8])):
+        mesh = create_mesh(devs)
+        with mesh:
+            state, _ = create_train_state(model, jax.random.PRNGKey(0), batch, OptimizerConfig())
+            state = state.replace(
+                params=perturb(state.params, jax.random.PRNGKey(42)),
+                opt_state=tx.init(state.params), ema_params=None)
+            state = replicate_state(state, mesh)
+            step = shard_train_step(make_train_step(model, config, tx), mesh)
+            new_state, metrics = step(state, shard_batch(batch, mesh), rng)
+            results[name] = (
+                jax.tree_util.tree_map(np.asarray, new_state.params),
+                jax.tree_util.tree_map(np.asarray, new_state.batch_stats),
+                {k: float(v) for k, v in metrics.items()},
+            )
+
+    params1, stats1, metrics1 = results["dev1"]
+    params8, stats8, metrics8 = results["dev8"]
+
+    # Batch stats have no discrete path: pure fp-reorder tolerance
+    # (measured max abs diff 4e-5 on running vars of order 1).
+    for (path, s1), s8 in zip(jax.tree_util.tree_flatten_with_path(stats1)[0],
+                              jax.tree_util.tree_leaves(stats8)):
+        np.testing.assert_allclose(
+            s8, s1, rtol=1e-3, atol=1e-4,
+            err_msg=f"batch stats diverged across meshes: {jax.tree_util.keystr(path)}")
+
+    assert set(metrics1) == set(metrics8)
+    for key in sorted(metrics1):
+        # agent_box_loss owns the Hungarian tie-flip channel (measured
+        # <=1.1e-3 rel) and the total "loss" inherits it weighted (measured
+        # 6.5e-5 rel); everything else measured <=3e-6 rel.
+        rel = {"agent_box_loss": 1e-2, "loss": 1e-3}.get(key, 1e-4)
+        assert metrics8[key] == pytest.approx(metrics1[key], rel=rel, abs=1e-6), (
+            f"loss component {key!r}: dev8={metrics8[key]} dev1={metrics1[key]}"
+        )
+
+    flat1 = jax.tree_util.tree_flatten_with_path(params1)[0]
+    flat8 = jax.tree_util.tree_leaves(params8)
+    assert len(flat1) == len(flat8)
+    # SGD update = lr * grad: measured ||p8-p1||_inf = 1.1e-3 = lr * 1.2
+    # (flip channel); a missing/doubled all-reduce rescales every gradient
+    # (magnitudes up to ~1e3 here) and blows through this by >=10x.
+    for (path, p1), p8 in zip(flat1, flat8):
+        diff = np.abs(np.asarray(p8, np.float64) - np.asarray(p1, np.float64))
+        assert diff.max() < 5.0 * lr, (
+            f"param diverged beyond the tie-flip gradient bound across meshes: "
+            f"{jax.tree_util.keystr(path)} max|d|={diff.max():.2e}")
 
 
 def test_ema_params_never_alias_params():
