@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from diffusiondrive_tpu.ops.conv_fused import (
     bn_eval_affine,
+    conv3x3_train,
     fused_conv3x3_packed,
     maxpool3x3s2,
     pack_pairs,
@@ -60,7 +61,9 @@ class BasicBlock(nn.Module):
     (`ops/conv_fused.py`) with the eval-mode BatchNorm folded to an exact
     per-channel affine, the residual add and the ReLU fused in — the 64ch
     3x3 convs of layer1 otherwise cap at 28% MFU under XLA's conv emitter.
-    `fused_mode`: "auto" (TPU only), "off", or "interpret" (CPU tests).
+    `fused_mode`: "auto" (eval fusion, TPU only), "off", "interpret" (CPU
+    tests; also exercises the train-path kernel), or "train" (opt-in
+    train-path Pallas convs — measured slower at b64, see below).
     """
 
     features: int
@@ -100,11 +103,35 @@ class BasicBlock(nn.Module):
                                         interpret=interp)
             return out2 if packed else unpack_pairs(out2)
 
+        # Train-path Pallas convs (`ops/conv_fused.py:conv3x3_train`) are
+        # opt-in (`fused_mode="train"`), NOT part of "auto": measured at b64
+        # on v5e the full train step REGRESSED 182 -> 239 ms device. The
+        # kernel itself wins 3x (0.44 vs 1.4 ms/conv), but every elementwise
+        # op XLA fuses across the packed<->NHWC reshape at the custom-call
+        # boundary runs at ~1/8 bandwidth (ReLU 4-5 ms, BN casts 2-3 ms,
+        # backward repacks 3.1 ms/block) — docs/profiling.md round 5.
+        # "interpret" keeps the path exercised by CPU parity tests.
+        pallas_train = (
+            train
+            and supports_fused_conv3x3(x, self.features, self.stride)
+            and (self.fused_mode == "interpret"
+                 or (self.fused_mode == "train"
+                     and jax.default_backend() == "tpu"))
+        )
+        if pallas_train:
+            interp = self.fused_mode == "interpret"
+            do_conv1 = lambda v: conv3x3_train(
+                v.astype(self.dtype), conv1.kernel.astype(self.dtype), interp)
+            do_conv2 = lambda v: conv3x3_train(
+                v.astype(self.dtype), conv2.kernel.astype(self.dtype), interp)
+        else:
+            do_conv1, do_conv2 = conv1, conv2
+
         residual = x
-        y = conv1(x)
+        y = do_conv1(x)
         y = bn1(y)
         y = nn.relu(y)
-        y = conv2(y)
+        y = do_conv2(y)
         y = bn2(y)
 
         if residual.shape[-1] != self.features or self.stride != 1:

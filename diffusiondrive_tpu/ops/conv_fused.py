@@ -219,6 +219,71 @@ def fused_conv3x3(
     return unpack_pairs(out)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_train(x: jnp.ndarray, w: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Differentiable stride-1 pad-1 3x3/64ch conv on the Pallas MXU kernel.
+
+    The eval path folds BatchNorm into the kernel's affine, which train-mode
+    BN (live batch stats between conv and ReLU) forbids — so training fell
+    back to XLA's ~28%-MFU conv emitter for the forward AND the whole
+    backward (docs/profiling.md round 5). This wrapper keeps the bare conv on
+    the packed Pallas kernel in both directions:
+
+      - forward: the fused kernel with an identity affine (scale 1, bias 0,
+        no ReLU/residual) — BN/ReLU stay in XLA where they fuse for free;
+      - input gradient: for stride-1 pad-1 the cotangent conv is *exactly
+        another stride-1 pad-1 3x3 conv* with spatially flipped,
+        in/out-transposed weights, so it reuses the same kernel;
+      - weight gradient: XLA's native wgrad (via `jax.vjp` of the plain
+        conv) — a reduction-heavy (576, B*H*W) @ (B*H*W, 64) contraction the
+        MXU handles well, and XLA reads x/g exactly once.
+
+    MEASURED AND REJECTED as the default train path (round 5, b64 on v5e):
+    the kernel wins 3x in isolation (0.44 vs 1.4 ms/conv, ~70% vs ~28% MFU)
+    but the full train step went 182 -> 239 ms device — every elementwise op
+    fused across the packed<->NHWC reshape at the custom-call boundary runs
+    at ~1/8 bandwidth (per-block ReLU 4-5 ms, BN casts 2-3 ms, backward
+    repacks 3.1 ms; A/B + microbench in docs/profiling.md). Kept behind
+    `fused_mode="train"` / "interpret" with gradient parity pinned in
+    `tests/test_conv_fused.py`; the eval path is unaffected (BN folds into
+    the kernel there, so no boundary elementwise exists).
+
+    Replaces the layer-1 training portion of the timm ResNet-34 forward used
+    by `transfuser_backbone.py:24-55`.
+    """
+    return _conv3x3_train_fwd(x, w, interpret)[0]
+
+
+def _conv3x3_plain(x: jnp.ndarray, w: jnp.ndarray,
+                   interpret: bool) -> jnp.ndarray:
+    assert supports_fused_conv3x3(x, w.shape[-1], 1)
+    out = fused_conv3x3_packed(pack_pairs(x), w, relu=False,
+                               interpret=interpret)
+    return unpack_pairs(out)
+
+
+def _conv3x3_train_fwd(x, w, interpret):
+    return _conv3x3_plain(x, w, interpret), (x, w)
+
+
+def _conv3x3_train_bwd(interpret, res, g):
+    x, w = res
+    # dgrad: dx[b,h,v,i] = sum g[b,h-dy+1,v-dx+1,o] w[dy,dx,i,o]
+    #      = conv3x3_pad1(g, w') with w'[a,b,o,i] = w[2-a,2-b,i,o]
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv3x3_plain(g, w_flip, interpret)
+    # wgrad: XLA's fused conv-transpose kernel (single pass over x and g)
+    conv_w = lambda w_: jax.lax.conv_general_dilated(
+        x, w_, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dw = jax.vjp(conv_w, w)[1](g)[0]
+    return dx, dw
+
+
+conv3x3_train.defvjp(_conv3x3_train_fwd, _conv3x3_train_bwd)
+
+
 def pack_stem_weights(w: jnp.ndarray) -> jnp.ndarray:
     """(7,7,C,F) HWIO stem kernel -> (7,3,4C,2F) width-grouped/pair-packed.
 

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_precision(dtype, batch_size: int, steps: int, peak_flops: float) -> dict:
+def run_precision(dtype, batch_size: int, steps: int, peak_flops: float,
+                  fused_mode: str = "auto") -> dict:
     from diffusiondrive_tpu.models.config import TransfuserConfig
     from diffusiondrive_tpu.models.transfuser_model import DiffusionDriveModel
     from diffusiondrive_tpu.parallel.mesh import create_mesh, shard_batch
@@ -36,7 +37,7 @@ def run_precision(dtype, batch_size: int, steps: int, peak_flops: float) -> dict
         shard_train_step,
     )
 
-    config = TransfuserConfig()
+    config = TransfuserConfig(fused_conv_mode=fused_mode)
     model = DiffusionDriveModel(config, dtype=dtype)
     mesh = create_mesh(jax.devices()[:1])
 
@@ -71,14 +72,25 @@ def run_precision(dtype, batch_size: int, steps: int, peak_flops: float) -> dict
         except Exception:
             step_flops = 0.0
 
-        # timed: each iteration's loss feeds the rng fold via a tiny token so
-        # the chain is sequential; end with a host fetch
+        # Warm-up: the first step() above ran with a freshly-created
+        # (uncommitted) state; its OUTPUT state carries the mesh shardings, so
+        # the next call retraces+recompiles — through this image's remote
+        # compile service that is 200-270 s, which a 6-step average silently
+        # smears into "~49 s/step" (measured round 5). Same trap with the rng
+        # key: deriving it from a device value (e.g. fold_in(key, loss))
+        # commits it and forces a THIRD compile. Pre-split host keys + one
+        # untimed step pin the steady-state signature before timing.
+        keys = jax.random.split(jax.random.PRNGKey(2), steps + 1)
+        state, metrics = step(state, sharded, keys[0])
+        _ = float(metrics["loss"])
+
+        # timed: state threading makes the chain sequential (step i+1's input
+        # is step i's output), and the final loss fetch forces the whole chain
+        # (un-fetched work on the tunneled TPU can be elided, see CLAUDE.md)
         losses = []
         t0 = time.perf_counter()
-        rng_key = jax.random.PRNGKey(2)
         for i in range(steps):
-            state, metrics = step(state, sharded, rng_key)
-            rng_key = jax.random.fold_in(rng_key, metrics["loss"].astype(jnp.int32))
+            state, metrics = step(state, sharded, keys[i + 1])
             losses.append(metrics["loss"])
         last_loss = float(losses[-1])
         wall = time.perf_counter() - t0
@@ -103,6 +115,8 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=6)
     parser.add_argument("--precisions", nargs="*", default=["bfloat16", "float32"])
+    parser.add_argument("--fused-mode", default="auto", choices=["auto", "off"],
+                        help="'off' disables the Pallas conv paths (XLA A/B side)")
     args = parser.parse_args()
 
     from bench import _peak_bf16_flops
@@ -110,7 +124,8 @@ def main() -> None:
     peak = _peak_bf16_flops(jax.devices()[0])
     results = []
     for name in args.precisions:
-        res = run_precision(getattr(jnp, name), args.batch, args.steps, peak)
+        res = run_precision(getattr(jnp, name), args.batch, args.steps, peak,
+                            fused_mode=args.fused_mode)
         print(json.dumps(res), flush=True)
         results.append(res)
     if len(results) == 2:
