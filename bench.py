@@ -131,6 +131,14 @@ def main() -> None:
         lambda: _force_fetch(_chained(variables, camera_b, lidar_b, status_b)))
     mfu_b16_dev = flops_b16 / dev_time_b16 / peak if (flops_b16 and dev_time_b16) else None
 
+    # Same for b1: the round-4 verdict flagged wall mfu_batch1=0.189 with no
+    # attribution; the device number separates "small shapes under-fill the
+    # chip" (device) from tunnel dispatch (wall-device gap). Round-5 profile:
+    # b1 device ~1.2 ms is latency-bound small-shape work (docs/profiling.md).
+    dev_time_b1 = _device_time_per_launch(
+        lambda: _force_fetch(_chained(variables, camera, lidar, status)))
+    mfu_b1_dev = flops_b1 / dev_time_b1 / peak if (flops_b1 and dev_time_b1) else None
+
     # Batched PDMS scoring throughput (simulate + score, 2 proposals/scene).
     # 256 scenes/launch: the TTC edge-pair intermediates cap a single launch
     # well below 1024 scenes on 16 GB (XLA materializes all object chunks of
@@ -157,6 +165,8 @@ def main() -> None:
                 "extra": {
                     "batch16_throughput_fps": round(batch_fps, 2),
                     "mfu_batch1": round(mfu_b1, 4) if mfu_b1 else None,
+                    "mfu_batch1_device": round(mfu_b1_dev, 4) if mfu_b1_dev else None,
+                    "device_ms_batch1": round(dev_time_b1 * 1e3, 3) if dev_time_b1 else None,
                     "mfu_batch16": round(mfu_b16, 4) if mfu_b16 else None,
                     "mfu_batch16_device": round(mfu_b16_dev, 4) if mfu_b16_dev else None,
                     "device_ms_batch16": round(dev_time_b16 * 1e3, 3) if dev_time_b16 else None,
