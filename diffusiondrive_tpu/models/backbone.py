@@ -20,19 +20,35 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from diffusiondrive_tpu.models.config import TransfuserConfig
 from diffusiondrive_tpu.models.resnet import ARCH_SPECS, ResNetStage, ResNetStem
+from diffusiondrive_tpu.ops.attention_fused import (
+    dropout_keep_mask, fused_attention, supports_fused_attention)
 from diffusiondrive_tpu.ops.sampling import adaptive_avg_pool2d, resize_bilinear
 
 
 class GPTSelfAttention(nn.Module):
-    """Fused-token self-attention (`transfuser_backbone.py:365-409`)."""
+    """Fused-token self-attention (`transfuser_backbone.py:365-409`).
+
+    A fused Pallas kernel for the score/softmax/dropout/value chain exists
+    (`ops/attention_fused.py`) but measured SLOWER than XLA's fusion at the
+    fusion-block shape (B=64, H=4, T=320, D=64: fwd 1.14-1.43 vs ~1.0 ms,
+    fwd+bwd 1.50 vs 1.28 ms; docs/profiling.md round-5 A/B), so
+    `fused_mode="auto"` resolves to the XLA einsum path; "on" forces the
+    kernel on TPU, "interpret" runs it on CPU for tests. The fused path's
+    attention dropout draws its keep mask from the same "dropout" RNG
+    stream via threefry (mask values differ from `nn.Dropout`'s draw, the
+    distribution and determinism guarantees are identical).
+    """
 
     n_embd: int
     n_head: int
     attn_pdrop: float
     resid_pdrop: float
     dtype: Any = jnp.float32
+    fused_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -47,12 +63,31 @@ class GPTSelfAttention(nn.Module):
         k = split(nn.Dense(C, dtype=self.dtype, kernel_init=init, name="key")(x))
         v = split(nn.Dense(C, dtype=self.dtype, kernel_init=init, name="value")(x))
 
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(d_head)).astype(x.dtype)
-        att = nn.softmax(att, axis=-1)
-        att = nn.Dropout(self.attn_pdrop, deterministic=deterministic)(att)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(B, T, C)
+        fused = supports_fused_attention(T, d_head) and (
+            self.fused_mode == "interpret"
+            or (self.fused_mode == "on" and jax.default_backend() == "tpu")
+        )
+        if fused:
+            pdrop = 0.0 if deterministic else float(self.attn_pdrop)
+            mask = None
+            if pdrop > 0.0:
+                mask = dropout_keep_mask(
+                    self.make_rng("dropout"), (B, self.n_head, T, T), pdrop)
+            y = fused_attention(q, k, v, mask, pdrop,
+                                self.fused_mode == "interpret")
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                jnp.float32(d_head)).astype(x.dtype)
+            att = nn.softmax(att, axis=-1)
+            # explicit names keep the resid dropout's RNG path identical
+            # whether or not the attn Dropout module is constructed
+            att = nn.Dropout(self.attn_pdrop, deterministic=deterministic,
+                             name="attn_drop")(att)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
         y = nn.Dense(C, dtype=self.dtype, kernel_init=init, name="proj")(y)
-        return nn.Dropout(self.resid_pdrop, deterministic=deterministic)(y)
+        return nn.Dropout(self.resid_pdrop, deterministic=deterministic,
+                          name="resid_drop")(y)
 
 
 class GPTBlock(nn.Module):
@@ -64,13 +99,14 @@ class GPTBlock(nn.Module):
     attn_pdrop: float
     resid_pdrop: float
     dtype: Any = jnp.float32
+    fused_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         init = nn.initializers.normal(stddev=0.02)
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         x = x + GPTSelfAttention(self.n_embd, self.n_head, self.attn_pdrop, self.resid_pdrop,
-                                 self.dtype, name="attn")(h, deterministic)
+                                 self.dtype, self.fused_mode, name="attn")(h, deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(self.block_exp * self.n_embd, dtype=self.dtype, kernel_init=init,
                      name="mlp_fc1")(h)
@@ -106,7 +142,8 @@ class GPTFusion(nn.Module):
         x = nn.Dropout(cfg.embd_pdrop, deterministic=deterministic)(tokens + pos_emb.astype(tokens.dtype))
         for i in range(cfg.n_layer):
             x = GPTBlock(self.n_embd, cfg.n_head, cfg.block_exp, cfg.attn_pdrop, cfg.resid_pdrop,
-                         self.dtype, name=f"block{i}")(x, deterministic)
+                         self.dtype, getattr(cfg, "fused_attention_mode", "auto"),
+                         name=f"block{i}")(x, deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_f")(x)
 
         return x[:, :n_img].reshape(B, ih, iw, C), x[:, n_img:].reshape(B, lh, lw, C)

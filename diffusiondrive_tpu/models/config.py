@@ -26,6 +26,12 @@ class TransfuserConfig:
     # Fused Pallas eval path for the 64ch 3x3 convs of layer1
     # ("auto" = on for TPU; "off"; "interpret" = CPU kernel tests)
     fused_conv_mode: str = "auto"
+    # Fused Pallas self-attention in the GPT fusion blocks. Unlike the convs
+    # the kernel is differentiable, but it measured SLOWER than XLA's own
+    # fusion at the T=320 fusion-block shape (docs/profiling.md round-5 A/B),
+    # so "auto" resolves to the XLA einsum path; "on" forces the kernel on
+    # TPU; "interpret" runs it on CPU (kernel tests).
+    fused_attention_mode: str = "auto"
     # Optional local paths for pretrained weights / anchors (None => random init
     # / built-in default anchors).
     bkb_path: Optional[str] = None

@@ -25,21 +25,29 @@ def batch_partitioned(fn, *, batched, ndims, out_ndim, rule, static_argnums=()):
         re-bound on the right of the per-shard call).
       batched: indices of operands sharded on dim 0 (index 0 must be one).
       ndims: rank of each non-static operand, in order.
-      out_ndim: rank of the (single) result; its dim 0 shards like the input.
-      rule: Shardy sharding rule string (einsum-like).
+      out_ndim: rank of the result, or a tuple of ranks for a multi-result
+        fn; every result's dim 0 shards like the input.
+      rule: Shardy sharding rule string (einsum-like; comma-separated results
+        for multi-result fns).
       static_argnums: forwarded to `custom_partitioning`.
     """
     assert 0 in batched, "operand 0 must be batched (it defines the axis)"
     wrapped = custom_partitioning(fn, static_argnums=static_argnums)
+    multi = isinstance(out_ndim, tuple)
+    out_ndims = out_ndim if multi else (out_ndim,)
 
     def _axis(arg_infos):
         spec = getattr(arg_infos[0].sharding, "spec", None)
         return spec[0] if spec else None
 
+    def _out_shardings(mesh, b):
+        shs = tuple(NamedSharding(mesh, PartitionSpec(b, *([None] * (nd - 1))))
+                    for nd in out_ndims)
+        return shs if multi else shs[0]
+
     def _infer(*a):
         mesh, arg_infos, _ = a[-3:]
-        return NamedSharding(
-            mesh, PartitionSpec(_axis(arg_infos), *([None] * (out_ndim - 1))))
+        return _out_shardings(mesh, _axis(arg_infos))
 
     def _partition(*a):
         static, (mesh, arg_infos, _) = a[:-3], a[-3:]
@@ -49,9 +57,7 @@ def batch_partitioned(fn, *, batched, ndims, out_ndim, rule, static_argnums=()):
             if i in batched else NamedSharding(mesh, PartitionSpec(*([None] * nd)))
             for i, nd in enumerate(ndims))
         local = (lambda *ops: fn(*ops, *static)) if static else fn
-        out_sh = NamedSharding(
-            mesh, PartitionSpec(b, *([None] * (out_ndim - 1))))
-        return mesh, local, out_sh, arg_sh
+        return mesh, local, _out_shardings(mesh, b), arg_sh
 
     wrapped.def_partition(
         partition=_partition, infer_sharding_from_operands=_infer,
