@@ -13,6 +13,11 @@ Covered reference modules (all under
   41-step tracked rollout vs reference-tracker-plus-reference-bicycle)
 - `simulation/batch_kinematic_bicycle.py` (rear-axle bicycle propagate)
 - `proposal/batch_idm_policy.py` (vectorized IDM ODE)
+- `navsim/agents/diffusiondrive/modules/`: `transfuser_loss.py` +
+  `multimodal_loss.py` (focal / nearest-mode / Hungarian-cost / full loss
+  dict), `blocks.py`-adjacent `F.grid_sample` conventions, `scheduler.py`
+  (WarmupCosLR), and `conditional_unet1d.py` (full denoiser forward with
+  ported weights)
 
 The LQR/bicycle modules import `nuplan` symbols only for type hints, vehicle
 parameters, and `principal_value`; a ~50-line stub (public Pacifica spec,
@@ -858,3 +863,156 @@ def test_idm_differential():
         want = theirs.propagate(prev.copy(), lead.copy(), idcs, 0.1)
         got = mine.propagate(prev.copy(), lead.copy(), idcs, 0.1)
         np.testing.assert_allclose(got, want, atol=1e-12, rtol=1e-12)
+
+
+# --------------------------------------------------------------------------- #
+# 5. ConditionalUnet1D (modules/conditional_unet1d) — direct module diff
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("cond_predict_scale", [False, True])
+def test_conditional_unet1d_differential(cond_predict_scale):
+    """Diff our Flax ConditionalUnet1D against the reference's own torch
+    module (`modules/conditional_unet1d.py:130-322`) — previously only
+    twin-tested. Weights are initialized in Flax and copied into the
+    reference module; outputs must match in fp32 (pins the Conv<->Conv1d
+    layout transposes, the ConvTranspose1d(k=4,s=2,p=1) padding/kernel-flip
+    equivalence, GroupNorm eps, the FiLM scale/bias split order, and the
+    reference's unused-first-skip UNet wiring)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    ref_mod = _import_reference("navsim.agents.diffusiondrive.modules.conditional_unet1d")
+
+    from diffusiondrive_tpu.models.conditional_unet1d import ConditionalUnet1D
+
+    IN_DIM, COND_DIM, DSED, DIMS = 3, 24, 32, (16, 32, 64)
+    rng = np.random.default_rng(11 + cond_predict_scale)
+    B, L = 2, 8
+    sample = rng.normal(size=(B, L, IN_DIM)).astype(np.float32)
+    gcond = rng.normal(size=(B, COND_DIM)).astype(np.float32)
+    timesteps = np.array([7, 423], np.int64)
+
+    ours = ConditionalUnet1D(
+        input_dim=IN_DIM, global_cond_dim=COND_DIM, diffusion_step_embed_dim=DSED,
+        down_dims=DIMS, cond_predict_scale=cond_predict_scale,
+    )
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample),
+                          jnp.asarray(timesteps), jnp.asarray(gcond))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    theirs = ref_mod.ConditionalUnet1D(
+        input_dim=IN_DIM, global_cond_dim=COND_DIM, diffusion_step_embed_dim=DSED,
+        down_dims=list(DIMS), cond_predict_scale=cond_predict_scale,
+    ).eval()
+
+    def t(x):
+        return torch.from_numpy(np.array(x, np.float32))
+
+    def copy_conv(dst, q):  # flax (K, Cin, Cout) -> torch Conv1d (Cout, Cin, K)
+        dst.weight.data = t(np.transpose(q["kernel"], (2, 1, 0)))
+        dst.bias.data = t(q["bias"])
+
+    def copy_convT(dst, q):  # flax (K, Cin, Cout) -> torch (Cin, Cout, K), flipped
+        dst.weight.data = t(np.transpose(q["kernel"], (1, 2, 0))[..., ::-1])
+        dst.bias.data = t(q["bias"])
+
+    def copy_linear(dst, q):
+        dst.weight.data = t(np.transpose(q["kernel"]))
+        dst.bias.data = t(q["bias"])
+
+    def copy_gn(dst, q):
+        dst.weight.data = t(q["scale"])
+        dst.bias.data = t(q["bias"])
+
+    def copy_block(dst, q):  # reference Conv1dBlock: .block = [Conv1d, GroupNorm, Mish]
+        copy_conv(dst.block[0], q["conv"])
+        copy_gn(dst.block[1], q["norm"])
+
+    def copy_res(dst, q):  # reference ConditionalResidualBlock1D
+        copy_block(dst.blocks[0], q["block0"])
+        copy_block(dst.blocks[1], q["block1"])
+        copy_linear(dst.cond_encoder[1], q["cond_fc"])
+        if not isinstance(dst.residual_conv, torch.nn.Identity):
+            copy_conv(dst.residual_conv, q["residual_conv"])
+
+    copy_linear(theirs.diffusion_step_encoder[1], p["time_fc1"])
+    copy_linear(theirs.diffusion_step_encoder[3], p["time_fc2"])
+    for i, (res0, res1, ds) in enumerate(theirs.down_modules):
+        copy_res(res0, p[f"down{i}_res0"])
+        copy_res(res1, p[f"down{i}_res1"])
+        if not isinstance(ds, torch.nn.Identity):
+            copy_conv(ds.conv, p[f"down{i}_ds"])
+    copy_res(theirs.mid_modules[0], p["mid_res0"])
+    copy_res(theirs.mid_modules[1], p["mid_res1"])
+    for i, (res0, res1, us) in enumerate(theirs.up_modules):
+        copy_res(res0, p[f"up{i}_res0"])
+        copy_res(res1, p[f"up{i}_res1"])
+        if not isinstance(us, torch.nn.Identity):
+            copy_convT(us.conv, p[f"up{i}_us"])
+    copy_block(theirs.final_conv[0], p["final_block"])
+    copy_conv(theirs.final_conv[1], p["final_conv"])
+
+    got = np.asarray(ours.apply(variables, jnp.asarray(sample),
+                                jnp.asarray(timesteps), jnp.asarray(gcond)))
+    with torch.no_grad():
+        # the reference rearranges 'b h t -> b t h' on entry/exit, i.e. it
+        # takes and returns the same (B, T, C) layout our module uses
+        want = theirs(t(sample), torch.from_numpy(timesteps), global_cond=t(gcond)).numpy()
+
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# 6. Lidar BEV splat — the reference's own `_get_lidar_feature`
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("use_ground_plane", [False, True])
+def test_lidar_feature_differential(use_ground_plane):
+    """Diff our host-side lidar featurization against the reference's own
+    `TransfuserFeatureBuilder._get_lidar_feature`
+    (`transfuser_features.py:79-138`) — height filter, 0.2 m ground split,
+    histogram bin edges, per-pixel clip, and channel stacking — previously
+    pinned only by a hand-rewritten twin of the same math. Exact equality:
+    both paths are float64 numpy histogramdd."""
+    pytest.importorskip("torch")
+    import dataclasses
+
+    # cv2 is imported at transfuser_features module top but never called on
+    # the lidar path under test
+    if "cv2" not in sys.modules and importlib.util.find_spec("cv2") is None:
+        cv2_stub = types.ModuleType("cv2")
+        cv2_stub.__path__ = []
+        sys.modules["cv2"] = cv2_stub
+    ref_tf = _import_reference("navsim.agents.diffusiondrive.transfuser_features")
+    ref_cfg = _import_reference("navsim.agents.diffusiondrive.transfuser_config")
+
+    from diffusiondrive_tpu.agents.diffusiondrive.features import (
+        TransfuserFeatureBuilder as OurBuilder,
+    )
+    from diffusiondrive_tpu.models.config import TransfuserConfig as OurConfig
+
+    rng = np.random.default_rng(3 + use_ground_plane)
+    n = 20000
+    pc = np.empty((6, n), np.float64)
+    pc[0] = rng.uniform(-40.0, 40.0, n)  # x: straddles the +-32 m grid
+    pc[1] = rng.uniform(-40.0, 40.0, n)
+    pc[2] = rng.uniform(-2.0, 4.0, n)  # z: straddles the 0.2 m ground split
+    pc[3:] = rng.uniform(0.0, 1.0, (3, n))
+    pc[2, :64] = 0.2  # exact split boundary: > vs <= must agree
+    pc[0, 64:128] = 32.0  # exact last-bin edge (histogramdd right-closes it)
+
+    fake_input = types.SimpleNamespace(
+        lidars=[types.SimpleNamespace(lidar_pc=pc)])
+
+    theirs = ref_tf.TransfuserFeatureBuilder(dataclasses.replace(
+        ref_cfg.TransfuserConfig(), use_ground_plane=use_ground_plane))
+    ours = OurBuilder(dataclasses.replace(
+        OurConfig(), use_ground_plane=use_ground_plane))
+
+    want = theirs._get_lidar_feature(fake_input).numpy()  # (C, H, W)
+    got = ours._get_lidar_feature(fake_input)  # (H, W, C) channel-last
+    assert got.dtype == want.dtype == np.float32
+    np.testing.assert_array_equal(np.transpose(got, (2, 0, 1)), want)
