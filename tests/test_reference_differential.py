@@ -1016,3 +1016,146 @@ def test_lidar_feature_differential(use_ground_plane):
     got = ours._get_lidar_feature(fake_input)  # (H, W, C) channel-last
     assert got.dtype == want.dtype == np.float32
     np.testing.assert_array_equal(np.transpose(got, (2, 0, 1)), want)
+
+
+# --------------------------------------------------------------------------- #
+# 7. TrajectoryHead: the reference's own cascade diffusion decoder
+# --------------------------------------------------------------------------- #
+
+
+def _install_diffusers_ddim_stub(torch):
+    """diffusers is absent from this image; install a DDIMScheduler written
+    from the published spec (scaled_linear betas, prediction_type="sample",
+    eta=0, set_alpha_to_one) — the same closed forms our JAX scheduler is
+    pinned to by 50-digit-Decimal literals in tests/test_ddim_constants.py.
+    Only the three methods the reference TrajectoryHead calls exist."""
+    if "diffusers" in sys.modules:
+        return
+    import math
+    from types import SimpleNamespace
+
+    class DDIMScheduler:
+        def __init__(self, num_train_timesteps=1000, beta_schedule="scaled_linear",
+                     prediction_type="sample"):
+            assert beta_schedule == "scaled_linear" and prediction_type == "sample"
+            self.num_train_timesteps = num_train_timesteps
+            betas = torch.linspace(math.sqrt(1e-4), math.sqrt(2e-2),
+                                   num_train_timesteps, dtype=torch.float32) ** 2
+            self.alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+            self.num_inference_steps = num_train_timesteps
+
+        def set_timesteps(self, num_inference_steps, device=None):
+            self.num_inference_steps = num_inference_steps
+
+        def add_noise(self, original_samples, noise, timesteps):
+            acp = self.alphas_cumprod.to(original_samples.device)[timesteps]
+            acp = acp.reshape(-1, *([1] * (original_samples.ndim - 1)))
+            return acp.sqrt() * original_samples + (1.0 - acp).sqrt() * noise
+
+        def step(self, model_output, timestep, sample):
+            t = int(timestep)
+            prev_t = t - self.num_train_timesteps // self.num_inference_steps
+            alpha_t = self.alphas_cumprod[t]
+            alpha_prev = self.alphas_cumprod[prev_t] if prev_t >= 0 else torch.tensor(1.0)
+            eps = (sample - alpha_t.sqrt() * model_output) / (1.0 - alpha_t).sqrt()
+            prev = alpha_prev.sqrt() * model_output + (1.0 - alpha_prev).sqrt() * eps
+            return SimpleNamespace(prev_sample=prev)
+
+    diffusers = types.ModuleType("diffusers")
+    diffusers.__path__ = []
+    schedulers = types.ModuleType("diffusers.schedulers")
+    schedulers.DDIMScheduler = DDIMScheduler
+    diffusers.schedulers = schedulers
+    sys.modules["diffusers"] = diffusers
+    sys.modules["diffusers.schedulers"] = schedulers
+
+
+def test_trajectory_head_forward_test_differential(tmp_path):
+    """Diff our DiffusionTrajectoryHead.forward_test against the reference's
+    own TrajectoryHead / CustomTransformerDecoder / GridSampleCrossBEVAttention
+    / ModulationLayer / DiffMotionPlanningRefinementModule
+    (`transfuser_model_v2.py:297-641`, `modules/blocks.py:49-129`) — the
+    entire eval-path cascade previously pinned only by an independently
+    written torch twin. Reference weights are random torch init, converted
+    into our parameter tree via the production port machinery
+    (`utils/port_transfuser._diff_decoder_layer` et al.); the anchor-noising
+    draw is fixed on both sides. The reference's DDIMScheduler dependency is
+    a spec-derived stub (see `_install_diffusers_ddim_stub`); timm/cv2 are
+    import-only stubs (never called on this path)."""
+    torch = pytest.importorskip("torch")
+    from unittest import mock
+
+    import jax.numpy as jnp
+
+    for name in ("timm", "cv2"):
+        if name not in sys.modules and importlib.util.find_spec(name) is None:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    _install_diffusers_ddim_stub(torch)
+    ref_mv2 = _import_reference("navsim.agents.diffusiondrive.transfuser_model_v2")
+    ref_cfg_mod = _import_reference("navsim.agents.diffusiondrive.transfuser_config")
+
+    from diffusiondrive_tpu.models.config import TransfuserConfig as OurConfig
+    from diffusiondrive_tpu.models.diffusion_head import (
+        DiffusionTrajectoryHead, default_plan_anchors)
+    from diffusiondrive_tpu.utils.port_transfuser import (
+        _diff_decoder_layer, _linear_relu_ln, _np, port_linear)
+
+    our_cfg = OurConfig()
+    anchors = default_plan_anchors(our_cfg.ego_fut_mode, our_cfg.num_poses)
+    anchor_path = tmp_path / "anchors.npy"
+    np.save(anchor_path, anchors)
+
+    ref_cfg = ref_cfg_mod.TransfuserConfig()
+    torch.manual_seed(0)
+    theirs = ref_mv2.TrajectoryHead(
+        num_poses=our_cfg.num_poses, d_ffn=our_cfg.tf_d_ffn, d_model=our_cfg.tf_d_model,
+        plan_anchor_path=str(anchor_path), config=ref_cfg,
+    ).eval()
+    assert ref_cfg.tf_num_head == our_cfg.tf_num_head
+    # grid normalization note: the reference divides x by lidar_max_y and y by
+    # lidar_max_x (`blocks.py:101-108`); equivalent to ours only because the
+    # BEV range is square (32 m x 32 m) in every shipped config
+    assert ref_cfg.lidar_max_x == ref_cfg.lidar_max_y == our_cfg.lidar_max_x
+
+    sd = {f"_trajectory_head.{k}": v.detach() for k, v in theirs.state_dict().items()}
+    th = {
+        "anchor_encoder_ln": _linear_relu_ln(sd, "_trajectory_head.plan_anchor_encoder", out_loops=1),
+        "anchor_encoder_out": port_linear(sd, "_trajectory_head.plan_anchor_encoder.3"),
+        "time_fc1": port_linear(sd, "_trajectory_head.time_mlp.1"),
+        "time_fc2": port_linear(sd, "_trajectory_head.time_mlp.3"),
+    }
+    for i in range(our_cfg.diff_decoder_layers):
+        th[f"layer{i}"] = _diff_decoder_layer(
+            sd, f"_trajectory_head.diff_decoder.layers.{i}", our_cfg.tf_d_model)
+    variables = {
+        "params": th,
+        "constants": {"plan_anchor": _np(sd["_trajectory_head.plan_anchor"])},
+    }
+
+    rng = np.random.default_rng(7)
+    B, A, H, W, d = 2, 30, 8, 16, our_cfg.tf_d_model
+    ego_query = rng.normal(size=(B, 1, d)).astype(np.float32)
+    agents_query = rng.normal(size=(B, A, d)).astype(np.float32)
+    bev = rng.normal(size=(B, H, W, 256)).astype(np.float32)
+    noise = rng.normal(size=(B, our_cfg.ego_fut_mode, our_cfg.num_poses, 2)).astype(np.float32)
+
+    ours = DiffusionTrajectoryHead(config=our_cfg)
+    got = ours.apply(variables, jnp.asarray(ego_query), jnp.asarray(agents_query),
+                     jnp.asarray(bev), status_encoding=None, train=False,
+                     noise=jnp.asarray(noise))
+
+    with torch.no_grad(), mock.patch.object(
+            torch, "randn", lambda *a, **k: torch.from_numpy(noise)):
+        want = theirs.forward_test(
+            ego_query=torch.from_numpy(ego_query),
+            agents_query=torch.from_numpy(agents_query),
+            bev_feature=torch.from_numpy(np.transpose(bev, (0, 3, 1, 2))),
+            bev_spatial_shape=(H, W),
+            status_encoding=torch.zeros(B, 1, d),
+            global_img=None,
+        )
+
+    np.testing.assert_allclose(np.asarray(got["trajectory"]),
+                               want["trajectory"].numpy(), atol=2e-4, rtol=1e-3)
